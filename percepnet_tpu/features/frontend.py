@@ -1,0 +1,132 @@
+"""Batched analysis front-end: PCM -> spectra, band energies, pitch, comb.
+
+The reference processes one 10 ms frame at a time through a set of ring
+buffers inside DenoiseState (denoise.cpp:61-85, 372-434).  Every one of those
+buffers is a sliding window over the input signal, so the TPU-native design
+replaces them with index arithmetic into a single left-padded signal and
+computes ALL frames of an utterance at once:
+
+  padded index of frame t = t*FRAME_SIZE + OFFSET, with OFFSET:
+    analysis window (X)       2400   (denoise.cpp:402: the frame being
+                                      enhanced lags the input by
+                                      FRAME_LOOKAHEAD+1 frames)
+    comb-filter base          2400 - pitch*k   (denoise.cpp:419-422)
+    pitch buffer               1632   (denoise.cpp:396-397)
+    lookahead window           4800   (denoise.cpp:498-506)
+
+Only two computations are sequential across frames, both tiny scalar
+chains: the remove_doubling hysteresis (inside ops.pitch.pitch_track's
+scan) and, downstream, the GRU state.  Everything else is batched matmuls
+and gathers.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from percepnet_tpu import constants as C
+from percepnet_tpu.ops import bands, comb, dft, pitch, window
+
+PAD = C.COMB_BUF_SIZE - C.FRAME_SIZE  # 5280 zeros: the initial ring state
+_X_OFF = 2400
+_PITCH_OFF = 1632
+_LOOK_OFF = 4800
+
+
+class FrontendState(NamedTuple):
+    """Streaming carry-over between utterance chunks.
+
+    tail:   [PAD] last samples of the previous chunk (ring-buffer contents).
+    period: int32 last pitch period (DenoiseState.last_period).
+    gain:   float32 last pitch gain (DenoiseState.last_gain).
+    """
+    tail: jax.Array
+    period: jax.Array
+    gain: jax.Array
+
+
+def init_state() -> FrontendState:
+    return FrontendState(
+        tail=jnp.zeros((PAD,), jnp.float32),
+        period=jnp.asarray(0, jnp.int32),
+        gain=jnp.asarray(0.0, jnp.float32))
+
+
+def _frame(s_pad: jax.Array, n_frames: int, offset: int, length: int):
+    """[n_frames, length] sliding windows: s_pad[t*480 + offset : +length]."""
+    idx = (jnp.arange(n_frames)[:, None] * C.FRAME_SIZE
+           + offset + jnp.arange(length)[None, :])
+    return jnp.take(s_pad, idx, axis=0)
+
+
+def analyze_utterance(signal: jax.Array, state: FrontendState | None = None):
+    """Analyze a whole utterance; returns per-frame features and spectra.
+
+    Args:
+      signal: [n_samples] float32 PCM (n_samples divisible by FRAME_SIZE).
+        Scale convention follows the caller: /32768 for inference parity
+        (main.cpp:34), raw int16 amplitudes for feature generation
+        (denoise.cpp:41,697 NORM_RATIO=1).
+      state: optional streaming carry (None = fresh DenoiseState zeros).
+
+    Returns:
+      (out, new_state) where out is a dict of [T, ...] arrays:
+        xr, xi      [T, 481]  spectrum of the (delayed) frame being enhanced
+        pr, pi      [T, 481]  comb-filtered spectrum
+        ex, ep      [T, 34]   band energies of X and P
+        exp         [T, 34]   clamped pitch coherence  (denoise.cpp:427)
+        ey_look     [T, 34]   lookahead band energy    (denoise.cpp:498-506)
+        period      [T] int32, gain [T], corr [T]      pitch track
+        silence     [T] bool  (sum Ex < 0.1, denoise.cpp:429-433)
+        features    [T, 70]   model input (create_features, denoise.cpp:487)
+    """
+    if state is None:
+        state = init_state()
+    n = signal.shape[0]
+    n_frames = n // C.FRAME_SIZE
+    s_pad = jnp.concatenate([state.tail, signal.astype(jnp.float32)])
+
+    # --- spectra of the frame being enhanced -----------------------------
+    xw = window.apply_window(_frame(s_pad, n_frames, _X_OFF, C.WINDOW_SIZE))
+    xr, xi = dft.forward_dft(xw)
+    ex = bands.band_energy(xr, xi)
+
+    # --- pitch track ------------------------------------------------------
+    pitch_bufs = _frame(s_pad, n_frames, _PITCH_OFF, C.PITCH_BUF_SIZE)
+    track = pitch.pitch_track(pitch_bufs, state.period, state.gain)
+    period = track["period"]
+
+    # --- comb filter ------------------------------------------------------
+    pw = comb.comb_filter_windows(s_pad, n_frames, _X_OFF, period)
+    pw = window.apply_window(pw)
+    pr, pi = dft.forward_dft(pw)
+    ep = bands.band_energy(pr, pi)
+    exp_raw = bands.band_corr(xr, xi, pr, pi)
+    exp = jnp.clip(exp_raw / jnp.sqrt(1e-15 + ex * ep), 0.0, 1.0)
+
+    silence = jnp.sum(ex, axis=-1) < 0.1
+
+    # --- lookahead energy + feature vector -------------------------------
+    lw = window.apply_window(_frame(s_pad, n_frames, _LOOK_OFF, C.WINDOW_SIZE))
+    lr, li = dft.forward_dft(lw)
+    ey_look = bands.band_energy(lr, li)
+
+    t_feat = period.astype(jnp.float32) / C.PITCH_T_NORM
+    features = jnp.concatenate([
+        ey_look * C.FEATURE_SCALE,
+        exp * C.FEATURE_SCALE,
+        t_feat[:, None],
+        track["corr"][:, None],
+    ], axis=-1)
+
+    new_state = FrontendState(
+        tail=s_pad[-PAD:],
+        period=track["final_period"],
+        gain=track["final_gain"])
+    out = dict(xr=xr, xi=xi, pr=pr, pi=pi, ex=ex, ep=ep, exp=exp,
+               ey_look=ey_look, period=period, gain=track["gain"],
+               corr=track["corr"], silence=silence, features=features)
+    return out, new_state

@@ -1,0 +1,374 @@
+"""CELT/Opus pitch stack, batched TPU-native.
+
+The reference (pitch.cpp, celt_lpc.cpp) runs a per-frame pointer loop:
+2x decimation + order-4 LPC whitening, a coarse(4x)->fine(2x) ladder of
+cross-correlations, and `remove_doubling` octave-error logic with
+frame-to-frame hysteresis.
+
+The TPU design computes, for ALL frames of an utterance at once:
+  * decimation and whitening as shifts/elementwise ops   (pitch_downsample)
+  * the full lag-0..384 autocorrelation xc_all per frame as one batched
+    depthwise correlation (rides the conv/MXU path); the reference's fine
+    search inner products and every data-dependent lookup in
+    remove_doubling become cheap gathers into xc_all
+  * pitch_search top-2 selection as vectorized argmax over lag scores
+  * remove_doubling as a 14-way vectorized candidate test inside a
+    `lax.scan` over frames — the scan exists only because of the
+    prev_period/prev_gain hysteresis (pitch.cpp:485-497), everything else
+    is parallel across frames.
+
+Geometry (all static): PITCH_BUF_SIZE=1728 -> ds len 864; x_lp = ds[384:]
+(480 samples); max_pitch = 588; coarse lags 147, fine lags 294;
+half-domain max period 384.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from percepnet_tpu import constants as C
+
+HIGHEST = lax.Precision.HIGHEST
+
+_DS_LEN = C.PITCH_BUF_SIZE // 2          # 864
+_X_OFF = C.PITCH_MAX_PERIOD // 2         # 384
+_X_LEN = _DS_LEN - _X_OFF                # 480
+_MAX_PITCH = C.PITCH_MAX_PERIOD - 3 * C.PITCH_MIN_PERIOD   # 588
+_COARSE_LAGS = _MAX_PITCH >> 2           # 147
+_FINE_LAGS = _MAX_PITCH >> 1             # 294
+_MAX_PERIOD_H = C.PITCH_MAX_PERIOD // 2  # 384
+_MIN_PERIOD_H = C.PITCH_MIN_PERIOD // 2  # 30
+
+# remove_doubling's subharmonic re-check table (pitch.cpp:423)
+_SECOND_CHECK = jnp.array(
+    [0, 0, 3, 2, 3, 2, 5, 2, 3, 2, 3, 2, 5, 2, 3, 2], jnp.int32)
+
+
+def _batched_corr(sig: jax.Array, ker: jax.Array, out_len: int) -> jax.Array:
+    """out[b, i] = sum_j ker[b, j] * sig[b, i + j]   for i < out_len.
+
+    Per-row correlation expressed as a depthwise (feature-grouped) conv so
+    XLA maps it onto the TPU conv/MXU path instead of a gather blowup.
+    """
+    b = sig.shape[0]
+    lhs = sig[None, :, :]      # N=1, C=b, W
+    rhs = ker[:, None, :]      # O=b, I=1, W
+    out = lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=b, precision=HIGHEST)
+    return out[0, :, :out_len]
+
+
+# --------------------------------------------------------------------------
+# pitch_downsample: 2x decimation + LPC whitening (pitch.cpp:148-216)
+# --------------------------------------------------------------------------
+
+def _levinson4(ac: jax.Array) -> jax.Array:
+    """Order-4 Levinson-Durbin, unrolled, batched over leading dims.
+
+    Mirrors _celt_lpc (celt_lpc.cpp:37-88) float path including the 1e-5
+    division guard and the 30 dB early exit (error < .001*ac[0]): once the
+    exit triggers, later coefficients keep their pre-exit values.
+
+    Args:  ac [..., 5] autocorrelation (already noise-floored/lag-windowed).
+    Returns: lpc [..., 4].
+    """
+    ac0 = ac[..., 0]
+    lpc = [jnp.zeros_like(ac0) for _ in range(4)]
+    error = ac0
+    done = ac0 == 0
+
+    def step(i, lpc, error, done):
+        rr = ac[..., i + 1]
+        for j in range(i):
+            rr = rr + lpc[j] * ac[..., i - j]
+        r = -rr / (error + 1e-5)
+        new = list(lpc)
+        new[i] = r
+        for j in range((i + 1) >> 1):
+            t1, t2 = lpc[j], lpc[i - 1 - j]
+            new[j] = t1 + r * t2
+            new[i - 1 - j] = t2 + r * t1
+        lpc = [jnp.where(done, a, b) for a, b in zip(lpc, new)]
+        err2 = error - r * r * error
+        error = jnp.where(done, error, err2)
+        done = done | (error < 0.001 * ac0)
+        return lpc, error, done
+
+    for i in range(4):
+        lpc, error, done = step(i, lpc, error, done)
+    return jnp.stack(lpc, axis=-1)
+
+
+def pitch_downsample(x: jax.Array) -> jax.Array:
+    """[..., 1728] pitch buffer -> [..., 864] decimated + whitened signal.
+
+    Steps (pitch.cpp:148-216): 2x decimation with a [.25 .5 .25] smoother,
+    5-lag autocorrelation with noise floor (*1.0001) and lag windowing,
+    order-4 LPC, 0.9^i bandwidth expansion, add-a-zero -> 5-tap FIR whitener.
+    """
+    n = x.shape[-1] // 2  # 864
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    prev_odd = jnp.concatenate(
+        [jnp.zeros_like(odd[..., :1]), odd[..., :-1]], axis=-1)
+    ds = 0.25 * (prev_odd + odd) + 0.5 * even
+    # x_lp[0] = .25*x[1] + .5*x[0]  (prev_odd[0]=0 already gives this)
+
+    # 5-lag autocorrelation: ac[k] = sum_{i>=k} ds[i]*ds[i-k]
+    ac = jnp.stack(
+        [jnp.sum(ds[..., k:] * ds[..., : n - k] if k else ds * ds, axis=-1)
+         for k in range(5)], axis=-1)
+    ac = ac.at[..., 0].multiply(1.0001)
+    lagw = 1.0 - (0.008 * jnp.arange(1, 5, dtype=jnp.float32)) ** 2
+    ac = ac.at[..., 1:].multiply(lagw)
+
+    lpc = _levinson4(ac)
+    # bandwidth expansion: lpc[i] *= .9^(i+1)
+    lpc = lpc * (0.9 ** jnp.arange(1, 5, dtype=jnp.float32))
+    c1 = 0.8
+    num = jnp.stack([
+        lpc[..., 0] + c1,
+        lpc[..., 1] + c1 * lpc[..., 0],
+        lpc[..., 2] + c1 * lpc[..., 1],
+        lpc[..., 3] + c1 * lpc[..., 2],
+        c1 * lpc[..., 3],
+    ], axis=-1)
+
+    # celt_fir5: y[i] = ds[i] + sum_m num[m] * ds[i-1-m]
+    y = ds
+    for m in range(5):
+        shifted = jnp.concatenate(
+            [jnp.zeros_like(ds[..., : m + 1]), ds[..., : n - m - 1]], axis=-1)
+        y = y + num[..., m : m + 1] * shifted
+    return y
+
+
+# --------------------------------------------------------------------------
+# find_best_pitch (pitch.cpp:46-104), vectorized top-2
+# --------------------------------------------------------------------------
+
+def _sliding_energy(y: jax.Array, length: int, n_lags: int) -> jax.Array:
+    """den[b, i] = max(1, 1 + sum_{j=i}^{i+length-1} y[b, j]^2), i < n_lags."""
+    y2 = y * y
+    c = jnp.cumsum(y2, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    den = 1.0 + (c[..., length : length + n_lags] - c[..., :n_lags])
+    return jnp.maximum(1.0, den)
+
+
+def _find_best_pitch(xcorr: jax.Array, y: jax.Array, length: int):
+    """Top-2 lags by normalized correlation score.
+
+    Mirrors find_best_pitch: score_i = (xcorr_i*1e-12)^2 / Syy_i for
+    xcorr_i > 0, earliest index wins ties; unconsidered lags keep the
+    C-code's initial best_pitch = [0, 1] semantics.  The reference compares
+    scores in cross-multiplied form; we use a float32 division, which
+    agrees except within ~1 ulp.
+
+    Args:  xcorr [B, M] lag correlations, y [B, >= M+length] signal.
+    Returns: (best0, best1) int32 [B].
+    """
+    m = xcorr.shape[-1]
+    den = _sliding_energy(y, length, m)
+    considered = xcorr > 0
+    num = jnp.square(xcorr * 1e-12)
+    score = jnp.where(considered, num / den, -1.0)
+    cnt = jnp.sum(considered, axis=-1)
+
+    i0 = jnp.argmax(score, axis=-1).astype(jnp.int32)
+    iota = jnp.arange(m, dtype=jnp.int32)
+    score2 = jnp.where(iota[None, :] == i0[:, None], -2.0, score)
+    i1 = jnp.argmax(score2, axis=-1).astype(jnp.int32)
+
+    best0 = jnp.where(cnt > 0, i0, 0)
+    best1 = jnp.where(cnt >= 2, i1, jnp.where(cnt == 1, 0, 1))
+    return best0, best1
+
+
+# --------------------------------------------------------------------------
+# pitch_search (pitch.cpp:283-386)
+# --------------------------------------------------------------------------
+
+def full_xcorr(ds: jax.Array) -> jax.Array:
+    """xc_all[b, L] = sum_{j<480} ds[b, 384+j] * ds[b, 384-L+j], L <= 384.
+
+    One batched correlation whose reversed output doubles as the
+    reference's fine-search inner products (fine_xcorr[i] = xc_all[384-i])
+    and as every lag lookup inside remove_doubling.
+    """
+    rev = _batched_corr(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1)
+    return rev[..., ::-1]
+
+
+def pitch_search(ds: jax.Array, xc_all: jax.Array):
+    """Coarse->fine pitch search on the whitened half-rate signal.
+
+    Args:
+      ds:     [B, 864] output of pitch_downsample.
+      xc_all: [B, 385] output of full_xcorr(ds).
+    Returns:
+      (pitch_index, pitch_corr): [B] int32 period (already flipped to
+      768 - pitch as in denoise.cpp:408) and [B] raw correlation value.
+    """
+    # --- coarse, 4x domain ---
+    x4 = ds[..., _X_OFF::2][..., : _X_LEN // 2]        # 240
+    lag4 = (C.PITCH_FRAME_SIZE + _MAX_PITCH) >> 2      # 387
+    y4 = ds[..., 0 : 2 * lag4 : 2]                     # 387
+    xcorr4 = _batched_corr(y4, x4, _COARSE_LAGS)
+    b0c, b1c = _find_best_pitch(xcorr4, y4, _X_LEN // 2)
+
+    # --- fine, 2x domain: only lags within +/-2 of 2*coarse candidates ---
+    i = jnp.arange(_FINE_LAGS, dtype=jnp.int32)[None, :]
+    near = (jnp.abs(i - 2 * b0c[:, None]) <= 2) | (jnp.abs(i - 2 * b1c[:, None]) <= 2)
+    fine_all = xc_all[..., ::-1][..., : _FINE_LAGS]     # fine_xcorr[i] = xc_all[384-i]
+    xcorr2 = jnp.where(near, jnp.maximum(-1.0, fine_all), 0.0)
+    b0, _ = _find_best_pitch(xcorr2, ds, _X_LEN)
+
+    # --- pseudo-interpolation (pitch.cpp:369-384) ---
+    bm1 = jnp.take_along_axis(xcorr2, jnp.maximum(b0 - 1, 0)[:, None], -1)[:, 0]
+    b = jnp.take_along_axis(xcorr2, b0[:, None], -1)[:, 0]
+    bp1 = jnp.take_along_axis(
+        xcorr2, jnp.minimum(b0 + 1, _FINE_LAGS - 1)[:, None], -1)[:, 0]
+    offset = jnp.where(
+        (bp1 - bm1) > 0.7 * (b - bm1), 1,
+        jnp.where((bm1 - bp1) > 0.7 * (b - bp1), -1, 0)).astype(jnp.int32)
+    interior = (b0 > 0) & (b0 < _FINE_LAGS - 1)
+    offset = jnp.where(interior, offset, 0)
+
+    pitch = 2 * b0 - offset
+    pitch_index = C.PITCH_MAX_PERIOD - pitch
+    return pitch_index, b
+
+
+# --------------------------------------------------------------------------
+# remove_doubling (pitch.cpp:424-527)
+# --------------------------------------------------------------------------
+
+def yy_lookup_table(ds: jax.Array) -> jax.Array:
+    """yy[b, i] = max(0, sum_{j<480} ds[b, 384-i+j]^2), i <= 384."""
+    x2 = ds * ds
+    c = jnp.cumsum(x2, axis=-1)
+    c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
+    # window [384-i, 864-i) -> c[864-i] - c[384-i]
+    i = jnp.arange(_MAX_PERIOD_H + 1)
+    yy = c[..., _DS_LEN - i] - c[..., _X_OFF - i]
+    return jnp.maximum(0.0, yy)
+
+
+def _pitch_gain(xy, xx, yy):
+    """compute_pitch_gain (pitch.cpp:417-421): xy / sqrt(1 + xx*yy)."""
+    return xy / jnp.sqrt(1.0 + xx * yy)
+
+
+def remove_doubling(xc_all: jax.Array, yy_look: jax.Array, t0_in: jax.Array,
+                    prev_period: jax.Array, prev_gain: jax.Array):
+    """Octave-error correction; vectorized over the 14 subharmonic tests.
+
+    Args (single frame, but broadcasts over leading dims):
+      xc_all:  [385] full-lag correlations.
+      yy_look: [385] lagged energies.
+      t0_in:   int32 candidate period (full-rate units, from pitch_search).
+      prev_period, prev_gain: hysteresis state (full-rate period).
+    Returns:
+      (t0_out, gain): corrected full-rate period (int32) and pitch gain.
+    """
+    t0 = jnp.minimum(t0_in // 2, _MAX_PERIOD_H - 1)
+    prev = prev_period // 2
+
+    xx = xc_all[..., 0]
+    xy = jnp.take(xc_all, t0, axis=-1)
+    yy = jnp.take(yy_look, t0, axis=-1)
+    g0 = _pitch_gain(xy, xx, yy)
+
+    ks = jnp.arange(2, 16, dtype=jnp.int32)
+    t1 = (2 * t0[..., None] + ks) // (2 * ks)
+    # stop at the first k with T1 < minperiod (the C loop breaks)
+    valid = jnp.cumsum((t1 < _MIN_PERIOD_H).astype(jnp.int32), axis=-1) == 0
+    sc = _SECOND_CHECK[ks]
+    t1b_k2 = jnp.where(t1 + t0[..., None] > _MAX_PERIOD_H, t0[..., None],
+                       t0[..., None] + t1)
+    t1b = jnp.where(ks == 2, t1b_k2, (2 * sc * t0[..., None] + ks) // (2 * ks))
+
+    xy_k = 0.5 * (jnp.take(xc_all, t1, axis=-1)
+                  + jnp.take(xc_all, t1b, axis=-1))
+    yy_k = 0.5 * (jnp.take(yy_look, t1, axis=-1)
+                  + jnp.take(yy_look, t1b, axis=-1))
+    g1 = _pitch_gain(xy_k, xx[..., None], yy_k)
+
+    dt = jnp.abs(t1 - prev[..., None])
+    cont = jnp.where(
+        dt <= 1, prev_gain[..., None],
+        jnp.where((dt <= 2) & (5 * ks * ks < t0[..., None]),
+                  0.5 * prev_gain[..., None], 0.0))
+    # NB: the T1 < 2*minperiod branch in pitch.cpp:497 is unreachable
+    # (shadowed by T1 < 3*minperiod) — reproduced faithfully by omission.
+    thresh = jnp.where(
+        t1 < 3 * _MIN_PERIOD_H,
+        jnp.maximum(0.4, 0.85 * g0[..., None] - cont),
+        jnp.maximum(0.3, 0.7 * g0[..., None] - cont))
+    acc = valid & (g1 > thresh)
+
+    any_acc = jnp.any(acc, axis=-1)
+    # last accepted k wins (the C loop keeps overwriting T)
+    rev_idx = acc.shape[-1] - 1 - jnp.argmax(acc[..., ::-1], axis=-1)
+    idx = jnp.where(any_acc, rev_idx, 0).astype(jnp.int32)
+
+    def pick(v, default):
+        chosen = jnp.take_along_axis(v, idx[..., None], -1)[..., 0]
+        return jnp.where(any_acc, chosen, default)
+
+    t = pick(t1, t0)
+    g = pick(g1, g0)
+    best_xy = jnp.maximum(0.0, pick(xy_k, xy))
+    best_yy = pick(yy_k, yy)
+
+    pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
+
+    lag3 = t[..., None] + jnp.arange(-1, 2)
+    xc3 = jnp.take(xc_all, lag3, axis=-1)
+    c0, c1v, c2 = xc3[..., 0], xc3[..., 1], xc3[..., 2]
+    offset = jnp.where((c2 - c0) > 0.7 * (c1v - c0), 1,
+                       jnp.where((c0 - c2) > 0.7 * (c1v - c2), -1, 0))
+    pg = jnp.minimum(pg, g)
+    t0_out = 2 * t + offset
+    t0_out = jnp.maximum(t0_out, C.PITCH_MIN_PERIOD).astype(jnp.int32)
+    return t0_out, pg
+
+
+@partial(jax.jit, static_argnames=())
+def pitch_track(pitch_bufs: jax.Array,
+                init_period: jax.Array | None = None,
+                init_gain: jax.Array | None = None):
+    """Full pitch tracking over an utterance.
+
+    Args:
+      pitch_bufs: [T, 1728] per-frame pitch buffers (sliding windows of the
+        input signal; see features.frontend).
+      init_period, init_gain: optional scalar hysteresis state (defaults 0).
+    Returns:
+      dict with period [T] int32, gain [T], corr [T] float32, and the final
+      (period, gain) state for streaming continuation.
+    """
+    ds = pitch_downsample(pitch_bufs)
+    xc = full_xcorr(ds)
+    yy = yy_lookup_table(ds)
+    t0, corr = pitch_search(ds, xc)
+
+    p0 = jnp.asarray(0 if init_period is None else init_period, jnp.int32)
+    g0 = jnp.asarray(0.0 if init_gain is None else init_gain, jnp.float32)
+
+    def step(carry, inp):
+        prev_p, prev_g = carry
+        xc_t, yy_t, t0_t = inp
+        p, g = remove_doubling(xc_t, yy_t, t0_t, prev_p, prev_g)
+        return (p, g), (p, g)
+
+    (fp, fg), (period, gain) = lax.scan(step, (p0, g0), (xc, yy, t0))
+    return {"period": period, "gain": gain, "corr": corr,
+            "final_period": fp, "final_gain": fg}

@@ -1,0 +1,34 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests run on CPU so they are hermetic and so multi-chip sharding logic can
+be exercised without TPU hardware (the driver separately dry-runs the real
+multi-chip path).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compile cache: the frontend takes minutes to compile on CPU;
+# cache hits make test re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="session")
+def unit_goldens():
+    return np.load(os.path.join(GOLDENS, "unit.npz"))
+
+
+@pytest.fixture(scope="session")
+def featgen_goldens():
+    return np.load(os.path.join(GOLDENS, "featgen.npz"))

@@ -1,0 +1,84 @@
+"""End-to-end parity of the feature/label/oracle-enhance pipeline against
+the compiled reference `percepNet` binary (TRAINING=1) on synthetic PCM.
+
+Golden data: tests/goldens/featgen.npz, produced by tools/make_goldens.py
+(200 frames of harmonic 'speech' + noise, raw int16-amplitude scale).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from percepnet_tpu.enhance import enhance_spectra
+from percepnet_tpu.features import analyze_utterance, make_labels, make_records
+
+
+@pytest.fixture(scope="module")
+def pipeline(featgen_goldens):
+    g = featgen_goldens
+    clean = jnp.asarray(g["clean16"].astype(np.float32))
+    noisy = jnp.asarray(g["noisy16"].astype(np.float32))
+    clean_out, _ = analyze_utterance(clean)
+    noisy_out, _ = analyze_utterance(noisy)
+    return g, clean_out, noisy_out
+
+
+def test_records_parity(pipeline):
+    g, clean_out, noisy_out = pipeline
+    ref = g["records"]
+    rec = np.asarray(make_records(clean_out, noisy_out))
+    assert rec.shape == ref.shape
+
+    def relerr(a, b, floor=1e-3):
+        return np.abs(a - b) / np.maximum(np.abs(b), floor)
+
+    # band-energy features: f32 rounding level
+    assert relerr(rec[:, :34], ref[:, :34]).max() < 1e-4
+    # pitch coherence
+    assert np.abs(rec[:, 34:68] - ref[:, 34:68]).max() < 1e-4
+    # pitch period: exact discrete parity (T = period/588 may differ by
+    # 1 ulp of f32 division, so compare the recovered integer periods)
+    np.testing.assert_array_equal(
+        np.round(rec[:, 68] * 588), np.round(ref[:, 68] * 588))
+    # raw pitch correlation
+    assert relerr(rec[:, 69], ref[:, 69]).max() < 1e-3
+    # gains (post-filtered, as the reference dumps them)
+    assert np.abs(rec[:, 70:104] - ref[:, 70:104]).max() < 1e-4
+    # strengths: allow a tiny budget of discrete boundary flips
+    r_diff = np.abs(rec[:, 104:138] - ref[:, 104:138])
+    assert np.sum(r_diff > 0.02) <= 3
+    assert np.median(r_diff) < 1e-5
+
+
+def test_oracle_enhance_parity(pipeline):
+    """Full DSP loop (pitch filter + gains + postfilter + OLA) must match
+    the reference's oracle-enhanced PCM within the 1e-4 normalized gate."""
+    g, clean_out, noisy_out = pipeline
+    lab = make_labels(clean_out, noisy_out)
+    pcm, _ = enhance_spectra(noisy_out, lab["g"], lab["r"])
+    ours = np.asarray(pcm)
+    oracle = g["oracle_pcm"].astype(np.float32)
+    n = min(len(ours), len(oracle))
+    err = np.abs(ours[:n] - oracle[:n]) / 32768.0
+    assert err.max() < 1e-4
+
+
+def test_streaming_matches_batch(pipeline):
+    g, _, noisy_out = pipeline
+    noisy = jnp.asarray(g["noisy16"].astype(np.float32))
+    state = None
+    feats = []
+    for i in range(4):
+        out, state = analyze_utterance(noisy[i * 24000 : (i + 1) * 24000], state)
+        feats.append(np.asarray(out["features"]))
+    stream = np.concatenate(feats)
+    batch = np.asarray(noisy_out["features"])[: stream.shape[0]]
+    # discrete pitch features must be exact across chunk boundaries
+    np.testing.assert_array_equal(stream[:, 68], batch[:, 68])
+    rel = np.abs(stream - batch) / np.maximum(np.abs(batch), 1e-3)
+    assert rel.max() < 1e-3
+
+
+def test_zero_input_is_silent():
+    out, _ = analyze_utterance(jnp.zeros(4800, jnp.float32))
+    assert bool(np.all(np.asarray(out["silence"])))
+    assert bool(np.all(np.isfinite(np.asarray(out["features"]))))
