@@ -1,0 +1,232 @@
+"""The PercepNet gain/strength network, TPU-native.
+
+Architecture (mirrors rnn_train.py:105-145 / rnn.cpp:42-81):
+  fc:      Linear(70 -> 128)  + ReLU
+  conv1:   causal Conv1d(128 -> 512, k=5) + ReLU
+  conv2:   causal Conv1d(512 -> 512, k=3) + Tanh
+  gru1..3: GRU(512 -> 512)
+  gru_gb:  GRU(512 -> 512)            (input: gru3 output)
+  gru_rb:  GRU(1024 -> 128)           (input: [gru3, conv2] concat)
+  fc_gb:   Linear(2560 -> 34) + Sigmoid  on [conv2, gru1..3, gru_gb]
+  fc_rb:   Linear(128 -> 34)  + Sigmoid  on gru_rb
+  ~7.96 M parameters.
+
+TPU design notes:
+  * Params are a plain pytree of jnp arrays; GRU gate order is PyTorch's
+    (r, z, n) so torch checkpoints import without reordering; weight layout
+    is [in, out] so the forward pass is right-multiplication on the MXU.
+  * The five GRUs run in ONE `lax.scan` over time.  Input projections that
+    don't depend on recurrent state (gru1's, and the conv half of gru_rb's)
+    are hoisted out of the scan into big [B*T, .] matmuls.
+  * The conv stack is K shifted matmuls (K=5,3) — causal alignment matches
+    the reference's streaming conv state (nnet.cpp:182-200) and the
+    left-pad + right-trim in rnn_train.py:112-129.
+  * `act_tanh`/`act_sigmoid` are injectable: exact (training, default) or
+    the reference C inference tables (ops.activations) for parity tests.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from percepnet_tpu import constants as C
+
+Params = dict[str, Any]
+
+_P = lax.Precision.DEFAULT
+
+
+class ModelState(NamedTuple):
+    """Streaming state: conv tap memories + 5 GRU hidden states.
+
+    Mirrors RNNState (nnet_data.h:28-38): conv memories hold the last
+    (kernel-1) input frames of each conv layer.
+    """
+    conv1_mem: jax.Array   # [B, 4, 128]
+    conv2_mem: jax.Array   # [B, 2, 512]
+    h1: jax.Array          # [B, 512]
+    h2: jax.Array
+    h3: jax.Array
+    h_gb: jax.Array        # [B, 512]
+    h_rb: jax.Array        # [B, 128]
+
+
+class PercepNetParams(NamedTuple):
+    """Flat named container; each field is a dict of arrays."""
+    fc: Params
+    conv1: Params
+    conv2: Params
+    gru1: Params
+    gru2: Params
+    gru3: Params
+    gru_gb: Params
+    gru_rb: Params
+    fc_gb: Params
+    fc_rb: Params
+
+
+def _uniform(key, shape, bound):
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def _linear_init(key, n_in, n_out):
+    k1, k2 = jax.random.split(key)
+    b = 1.0 / jnp.sqrt(n_in)
+    return {"w": _uniform(k1, (n_in, n_out), b), "b": _uniform(k2, (n_out,), b)}
+
+
+def _conv_init(key, n_in, n_out, kernel):
+    k1, k2 = jax.random.split(key)
+    b = 1.0 / jnp.sqrt(n_in * kernel)
+    return {"w": _uniform(k1, (kernel, n_in, n_out), b),
+            "b": _uniform(k2, (n_out,), b)}
+
+
+def _gru_init(key, n_in, n_hidden):
+    ks = jax.random.split(key, 4)
+    b = 1.0 / jnp.sqrt(n_hidden)
+    return {
+        "wi": _uniform(ks[0], (n_in, 3 * n_hidden), b),
+        "wh": _uniform(ks[1], (n_hidden, 3 * n_hidden), b),
+        "bi": _uniform(ks[2], (3 * n_hidden,), b),
+        "bh": _uniform(ks[3], (3 * n_hidden,), b),
+    }
+
+
+def init_params(key: jax.Array) -> PercepNetParams:
+    """PyTorch-default uniform init (for training-recipe parity)."""
+    ks = jax.random.split(key, 10)
+    d, g, rb = C.CONV_DIM, C.GRU_DIM, C.RB_GRU_DIM
+    return PercepNetParams(
+        fc=_linear_init(ks[0], C.INPUT_DIM, C.FC_DIM),
+        conv1=_conv_init(ks[1], C.FC_DIM, d, C.CONV1_KERNEL),
+        conv2=_conv_init(ks[2], d, d, C.CONV2_KERNEL),
+        gru1=_gru_init(ks[3], d, g),
+        gru2=_gru_init(ks[4], g, g),
+        gru3=_gru_init(ks[5], g, g),
+        gru_gb=_gru_init(ks[6], g, g),
+        gru_rb=_gru_init(ks[7], 2 * g, rb),
+        fc_gb=_linear_init(ks[8], 5 * d, C.NB_BANDS),
+        fc_rb=_linear_init(ks[9], rb, C.NB_BANDS),
+    )
+
+
+def param_count(params: PercepNetParams) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def init_model_state(batch: int) -> ModelState:
+    z = jnp.zeros
+    return ModelState(
+        conv1_mem=z((batch, C.CONV1_KERNEL - 1, C.FC_DIM)),
+        conv2_mem=z((batch, C.CONV2_KERNEL - 1, C.CONV_DIM)),
+        h1=z((batch, C.GRU_DIM)), h2=z((batch, C.GRU_DIM)),
+        h3=z((batch, C.GRU_DIM)), h_gb=z((batch, C.GRU_DIM)),
+        h_rb=z((batch, C.RB_GRU_DIM)))
+
+
+def _causal_conv(p: Params, x: jax.Array, mem: jax.Array, act) -> tuple:
+    """Causal 1-D conv as K shifted matmuls.
+
+    x: [B, T, in]; mem: [B, K-1, in] previous frames.
+    out[t] = act(b + sum_k w[k] . x[t - (K-1) + k])  — tap k=0 is oldest,
+    matching the streaming state layout of nnet.cpp:182-200.
+    Returns (out [B, T, out], new_mem).
+    """
+    k = p["w"].shape[0]
+    xp = jnp.concatenate([mem, x], axis=1)     # [B, T+K-1, in]
+    t = x.shape[1]
+    out = p["b"]
+    for i in range(k):
+        out = out + jnp.matmul(xp[:, i : i + t, :], p["w"][i], precision=_P)
+    return act(out), xp[:, t:, :]
+
+
+def _gru_cell(p: Params, h: jax.Array, x_proj: jax.Array, sigmoid, tanh):
+    """One GRU step given the precomputed input projection x_proj = x@wi+bi.
+
+    PyTorch semantics (reset-after, gate order r,z,n), identical math to
+    compute_gru with reset_after=1 (nnet.cpp:120-180):
+      r = sig(xr + hr); z = sig(xz + hz); n = tanh(xn + r*hn)
+      h' = (1-z)*n + z*h
+    """
+    n = h.shape[-1]
+    gh = jnp.matmul(h, p["wh"], precision=_P) + p["bh"]
+    xr, xz, xn = x_proj[..., :n], x_proj[..., n : 2 * n], x_proj[..., 2 * n :]
+    hr, hz, hn = gh[..., :n], gh[..., n : 2 * n], gh[..., 2 * n :]
+    r = sigmoid(xr + hr)
+    z = sigmoid(xz + hz)
+    cand = tanh(xn + r * hn)
+    return (1.0 - z) * cand + z * h
+
+
+def _project(p: Params, x: jax.Array) -> jax.Array:
+    return jnp.matmul(x, p["wi"], precision=_P) + p["bi"]
+
+
+def forward(params: PercepNetParams, features: jax.Array,
+            state: ModelState | None = None, *,
+            act_tanh: Callable = jnp.tanh,
+            act_sigmoid: Callable = jax.nn.sigmoid):
+    """Whole-sequence forward pass.
+
+    Args:
+      features: [B, T, 70] model input (already x30-scaled).
+      state: optional streaming ModelState (None = zeros).
+    Returns:
+      (g [B, T, 34], r [B, T, 34], new_state)
+    """
+    b, t, _ = features.shape
+    if state is None:
+        state = init_model_state(b)
+
+    x = jax.nn.relu(jnp.matmul(features, params.fc["w"], precision=_P)
+                    + params.fc["b"])
+    c1, c1_mem = _causal_conv(params.conv1, x, state.conv1_mem, jax.nn.relu)
+    conv_out, c2_mem = _causal_conv(params.conv2, c1, state.conv2_mem, act_tanh)
+
+    # Hoist state-independent input projections out of the scan.
+    pre1 = _project(params.gru1, conv_out)                       # [B,T,1536]
+    g = C.GRU_DIM
+    pre_rb_conv = jnp.matmul(conv_out, params.gru_rb["wi"][g:], precision=_P) \
+        + params.gru_rb["bi"]                                     # [B,T,384]
+
+    def step(carry, inp):
+        h1, h2, h3, hgb, hrb = carry
+        p1, prbc = inp
+        h1 = _gru_cell(params.gru1, h1, p1, act_sigmoid, act_tanh)
+        h2 = _gru_cell(params.gru2, h2, _project(params.gru2, h1),
+                       act_sigmoid, act_tanh)
+        h3 = _gru_cell(params.gru3, h3, _project(params.gru3, h2),
+                       act_sigmoid, act_tanh)
+        hgb = _gru_cell(params.gru_gb, hgb, _project(params.gru_gb, h3),
+                        act_sigmoid, act_tanh)
+        prb = prbc + jnp.matmul(h3, params.gru_rb["wi"][:g], precision=_P)
+        hrb = _gru_cell(params.gru_rb, hrb, prb, act_sigmoid, act_tanh)
+        return (h1, h2, h3, hgb, hrb), (h1, h2, h3, hgb, hrb)
+
+    init = (state.h1, state.h2, state.h3, state.h_gb, state.h_rb)
+    # scan over time: move T to the leading axis
+    xs = (jnp.moveaxis(pre1, 1, 0), jnp.moveaxis(pre_rb_conv, 1, 0))
+    carry, ys = lax.scan(step, init, xs)
+    h1s, h2s, h3s, hgbs, hrbs = (jnp.moveaxis(y, 0, 1) for y in ys)
+
+    gb_in = jnp.concatenate([conv_out, h1s, h2s, h3s, hgbs], axis=-1)
+    gains = act_sigmoid(jnp.matmul(gb_in, params.fc_gb["w"], precision=_P)
+                        + params.fc_gb["b"])
+    strengths = act_sigmoid(jnp.matmul(hrbs, params.fc_rb["w"], precision=_P)
+                            + params.fc_rb["b"])
+
+    new_state = ModelState(c1_mem, c2_mem, *carry)
+    return gains, strengths, new_state
+
+
+def forward_stream(params: PercepNetParams, features: jax.Array,
+                   state: ModelState, **kw):
+    """Single-frame streaming step: features [B, 70] -> (g, r, state)."""
+    g, r, st = forward(params, features[:, None, :], state, **kw)
+    return g[:, 0], r[:, 0], st
