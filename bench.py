@@ -1,0 +1,69 @@
+"""Headline benchmark: batched end-to-end enhancement throughput.
+
+Measures audio-seconds of 48 kHz speech enhanced per wall-clock second on
+one chip, on the full pipeline (analysis front-end -> PercepNet GRU stack ->
+pitch filter / band gains / OLA synthesis) — the TPU-native equivalent of
+`percepNet_run` (main.cpp:11-41).
+
+Baseline: BASELINE.json north_star target = 10,000 audio-s/s/chip
+(the reference publishes no numbers; its paper claims ~real-time x20 on
+one x86 core, i.e. O(20) audio-s/s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "audio_s_per_s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from percepnet_tpu import pipeline
+from percepnet_tpu.models import percepnet
+
+BASELINE_AUDIO_S_PER_S = 10_000.0  # BASELINE.json north_star target
+SAMPLE_RATE = 48_000
+
+
+def main(argv=None):
+    del argv
+    # Shape chosen for steady-state throughput: many parallel streams,
+    # chunks long enough to amortize scan overhead.
+    batch = 128
+    n_frames = 200          # 2 s per stream per step
+    n_samples = n_frames * 480
+
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+    state = pipeline.init_pipeline_state(batch)
+
+    key = jax.random.PRNGKey(1)
+    signal = 0.05 * jax.random.normal(key, (batch, n_samples), jnp.float32)
+
+    step = jax.jit(pipeline.enhance_chunk, donate_argnums=(2,))
+
+    # Warm up / compile.
+    pcm, state = step(params, signal, state)
+    jax.block_until_ready(pcm)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        pcm, state = step(params, signal, state)
+    jax.block_until_ready(pcm)
+    dt = time.perf_counter() - t0
+
+    audio_s = iters * batch * n_samples / SAMPLE_RATE
+    value = audio_s / dt
+    print(json.dumps({
+        "metric": "enhance_throughput_1chip",
+        "value": round(value, 1),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(value / BASELINE_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""Command dispatcher: python -m percepnet_tpu <command> [args...]."""
+
+from __future__ import annotations
+
+import sys
+
+COMMANDS = {
+    "enhance": ("percepnet_tpu.cli.enhance", "main"),
+    "featgen": ("percepnet_tpu.cli.featgen", "main"),
+    "train": ("percepnet_tpu.cli.train", "main"),
+    "export": ("percepnet_tpu.cli.export", "main"),
+    "split-dataset": ("percepnet_tpu.cli.data", "split_main"),
+    "bin2h5": ("percepnet_tpu.cli.data", "bin2h5_main"),
+    "bench": ("bench", "main"),
+}
+
+
+def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print("usage: python -m percepnet_tpu <command> [args...]\n"
+              "commands: " + " ".join(sorted(COMMANDS)))
+        raise SystemExit(0 if len(sys.argv) >= 2 else 2)
+    cmd = sys.argv[1]
+    if cmd not in COMMANDS:
+        print(f"unknown command {cmd!r}; commands: "
+              + " ".join(sorted(COMMANDS)))
+        raise SystemExit(2)
+    mod_name, fn_name = COMMANDS[cmd]
+    import importlib
+    fn = getattr(importlib.import_module(mod_name), fn_name)
+    fn(sys.argv[2:])
+
+
+if __name__ == "__main__":
+    main()

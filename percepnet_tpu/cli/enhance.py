@@ -1,0 +1,132 @@
+"""Enhance PCM files: the `percepNet_run` equivalent (main.cpp:11-41).
+
+Usage:
+  python -m percepnet_tpu enhance noisy.pcm out.pcm --weights model.npz
+  python -m percepnet_tpu enhance a.pcm b.pcm ... --out-dir enhanced/
+
+Accepts weights as .npz (native), a PyTorch state_dict .pt, or a generated
+nnet_data.cpp.  Input/output: raw 48 kHz mono s16le PCM.
+
+Faithful quirks, both default-on to match the reference byte stream:
+  * input scaled /32768 (main.cpp:34);
+  * the first output frame is dropped (main.cpp:37-38), so output lags
+    input by FRAME_LOOKAHEAD+1 frames and is one frame shorter.
+Pass --keep-first-frame / --compat=off to disable.
+
+Files are batched together (padded to the longest) so one jit serves all —
+the TPU replacement for running the binary once per file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_params(path: str):
+    import jax
+    from percepnet_tpu.models.percepnet import init_params
+    from percepnet_tpu.train import checkpoint as ckpt
+
+    template = init_params(jax.random.PRNGKey(0))
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            keys = set(z.files)
+        if "step" in keys:
+            # full TrainState checkpoint: pull the params subtree
+            from percepnet_tpu.train.state import make_optimizer, \
+                init_train_state
+            tx = make_optimizer()
+            st = ckpt.load_checkpoint(
+                path, init_train_state(jax.random.PRNGKey(0), tx))
+            return st.params
+        return ckpt.load_params_npz(path, template)
+    if path.endswith((".pt", ".pth")):
+        import torch
+        from percepnet_tpu.io.torch_import import params_from_state_dict
+        return params_from_state_dict(
+            torch.load(path, map_location="cpu", weights_only=True))
+    if path.endswith(".cpp"):
+        from percepnet_tpu.io.nnet_data import params_from_nnet_data_cpp
+        return params_from_nnet_data_cpp(path)
+    raise ValueError(f"unknown weight format: {path}")
+
+
+def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
+                  drop_first_frame: bool = True, compat: bool = False):
+    import jax
+    import jax.numpy as jnp
+    from percepnet_tpu import constants as C
+    from percepnet_tpu import pipeline
+    from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
+
+    kw = {}
+    if compat:
+        from percepnet_tpu.ops.activations import sigmoid_approx, \
+            tansig_approx
+        kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
+
+    signals = [read_pcm16(p, normalize=True) for p in in_paths]
+    n_frames = [len(s) // C.FRAME_SIZE for s in signals]
+    bsz = len(signals)
+
+    step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
+                   donate_argnums=(2,))
+    state = pipeline.init_pipeline_state(bsz)
+    chunk = batch_frames * C.FRAME_SIZE
+    max_len = max(nf for nf in n_frames) * C.FRAME_SIZE
+    # drain the lookahead with zero frames at the end
+    total = max_len + pipeline.flush_frames() * C.FRAME_SIZE
+    total = -(-total // chunk) * chunk
+
+    outs = [[] for _ in signals]
+    for start in range(0, total, chunk):
+        block = np.zeros((bsz, chunk), np.float32)
+        for i, s in enumerate(signals):
+            seg = s[start : start + chunk]
+            block[i, : len(seg)] = seg
+        pcm, state = step(params, jnp.asarray(block), state)
+        pcm = np.asarray(jax.device_get(pcm))
+        for i in range(bsz):
+            outs[i].append(pcm[i])
+
+    for i, (path, nf) in enumerate(zip(out_paths, n_frames)):
+        y = np.concatenate(outs[i])
+        skip = C.FRAME_SIZE if drop_first_frame else 0
+        keep = nf * C.FRAME_SIZE - skip
+        write_pcm16(path, y[skip : skip + keep], scale=32768.0)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="percepnet-tpu enhance",
+                                 description=__doc__.splitlines()[0])
+    ap.add_argument("pcm", nargs="+",
+                    help="noisy.pcm out.pcm | inputs... with --out-dir")
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--out-dir")
+    ap.add_argument("--batch-frames", type=int, default=2000)
+    ap.add_argument("--keep-first-frame", action="store_true",
+                    help="disable the reference's dropped first frame")
+    ap.add_argument("--compat", action="store_true",
+                    help="use the C inference tansig/sigmoid tables")
+    args = ap.parse_args(argv)
+
+    if args.out_dir:
+        ins = args.pcm
+        os.makedirs(args.out_dir, exist_ok=True)
+        outs = [os.path.join(args.out_dir, os.path.basename(p)) for p in ins]
+    else:
+        if len(args.pcm) != 2:
+            ap.error("expected: noisy.pcm out.pcm (or use --out-dir)")
+        ins, outs = [args.pcm[0]], [args.pcm[1]]
+
+    params = load_params(args.weights)
+    enhance_files(params, ins, outs, batch_frames=args.batch_frames,
+                  drop_first_frame=not args.keep_first_frame,
+                  compat=args.compat)
+
+
+if __name__ == "__main__":
+    main()

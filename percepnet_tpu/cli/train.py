@@ -1,0 +1,80 @@
+"""Train PercepNet: the `rnn_train.py` equivalent, SPMD over a TPU mesh.
+
+Usage:
+  python -m percepnet_tpu train \
+      --train-filelist train.lst --dev-filelist dev.lst \
+      --config utils/DNS_Challenge.yaml --out-dir exp/run1
+
+Filelists point at raw 138-float record files (featgen output).  Resumes
+automatically from the newest checkpoint in --out-dir; --pretrain
+warm-starts params only (rnn_train.py:520-526).  For multi-host, start one
+process per host with --distributed (jax.distributed.initialize reads the
+TPU env) — data is host-sharded by process index.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="percepnet-tpu train",
+                                 description=__doc__.splitlines()[0])
+    ap.add_argument("--train-filelist", required=True)
+    ap.add_argument("--dev-filelist")
+    ap.add_argument("--config", help="YAML config (DNS_Challenge.yaml keys)")
+    ap.add_argument("--out-dir", default="exp")
+    ap.add_argument("--pretrain", help="params .npz to warm-start from")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--batch-size", type=int)
+    ap.add_argument("--seq-len", type=int)
+    ap.add_argument("--max-steps", type=int)
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s %(message)s")
+
+    import jax
+    if args.distributed:
+        jax.distributed.initialize()
+
+    from percepnet_tpu.train import Trainer, TrainConfig
+    from percepnet_tpu.train import datasets
+
+    overrides = {"out_dir": args.out_dir}
+    if args.batch_size:
+        overrides["batch_size"] = args.batch_size
+    if args.seq_len:
+        overrides["seq_len"] = args.seq_len
+    if args.max_steps:
+        overrides["train_max_steps"] = args.max_steps
+    cfg = (TrainConfig.from_yaml(args.config, **overrides)
+           if args.config else TrainConfig(**overrides))
+
+    shard, nshards = jax.process_index(), jax.process_count()
+    train_set = datasets.RecordListDataset(
+        datasets.read_filelist(args.train_filelist), cfg.seq_len,
+        shard_id=shard, num_shards=nshards)
+    train_iter = datasets.batch_iterator(
+        train_set, cfg.batch_size, seed=cfg.seed)
+
+    dev_batches = []
+    if args.dev_filelist:
+        dev_set = datasets.RecordListDataset(
+            datasets.read_filelist(args.dev_filelist), cfg.seq_len,
+            shard_id=shard, num_shards=nshards)
+        dev_batches = list(datasets.batch_iterator(
+            dev_set, cfg.batch_size, shuffle=False, epochs=1))
+
+    trainer = Trainer(cfg, train_iter, dev_batches)
+    if not args.no_resume:
+        trainer.restore()
+    if args.pretrain and int(jax.device_get(trainer.state.step)) == 0:
+        trainer.load_pretrained(args.pretrain)
+    trainer.run()
+
+
+if __name__ == "__main__":
+    main()

@@ -62,45 +62,53 @@ def _frame(s_pad: jax.Array, n_frames: int, offset: int, length: int):
     return jnp.take(s_pad, idx, axis=0)
 
 
-def analyze_utterance(signal: jax.Array, state: FrontendState | None = None):
-    """Analyze a whole utterance; returns per-frame features and spectra.
+def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
+    """Analyze a batch of utterances; returns per-frame features and spectra.
 
     Args:
-      signal: [n_samples] float32 PCM (n_samples divisible by FRAME_SIZE).
-        Scale convention follows the caller: /32768 for inference parity
-        (main.cpp:34), raw int16 amplitudes for feature generation
-        (denoise.cpp:41,697 NORM_RATIO=1).
-      state: optional streaming carry (None = fresh DenoiseState zeros).
+      signal: [B, n_samples] float32 PCM (n_samples divisible by
+        FRAME_SIZE).  Scale convention follows the caller: /32768 for
+        inference parity (main.cpp:34), raw int16 amplitudes for feature
+        generation (denoise.cpp:41,697 NORM_RATIO=1).
+      state: optional streaming carry with [B]-leading leaves (None = fresh
+        DenoiseState zeros).
 
     Returns:
-      (out, new_state) where out is a dict of [T, ...] arrays:
-        xr, xi      [T, 481]  spectrum of the (delayed) frame being enhanced
-        pr, pi      [T, 481]  comb-filtered spectrum
-        ex, ep      [T, 34]   band energies of X and P
-        exp         [T, 34]   clamped pitch coherence  (denoise.cpp:427)
-        ey_look     [T, 34]   lookahead band energy    (denoise.cpp:498-506)
-        period      [T] int32, gain [T], corr [T]      pitch track
-        silence     [T] bool  (sum Ex < 0.1, denoise.cpp:429-433)
-        features    [T, 70]   model input (create_features, denoise.cpp:487)
+      (out, new_state) where out is a dict of [B, T, ...] arrays:
+        xr, xi      [B, T, 481]  spectrum of the (delayed) enhanced frame
+        pr, pi      [B, T, 481]  comb-filtered spectrum
+        ex, ep      [B, T, 34]   band energies of X and P
+        exp         [B, T, 34]   clamped pitch coherence  (denoise.cpp:427)
+        ey_look     [B, T, 34]   lookahead band energy    (denoise.cpp:498)
+        period      [B, T] int32, gain [B, T], corr [B, T]  pitch track
+        silence     [B, T] bool  (sum Ex < 0.1, denoise.cpp:429-433)
+        features    [B, T, 70]   model input (create_features, :487)
+
+    Batched natively (not vmap) so the comb filter hits its Pallas kernel.
     """
+    bsz, n = signal.shape
     if state is None:
-        state = init_state()
-    n = signal.shape[0]
+        state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (bsz,) + x.shape), init_state())
     n_frames = n // C.FRAME_SIZE
-    s_pad = jnp.concatenate([state.tail, signal.astype(jnp.float32)])
+    s_pad = jnp.concatenate(
+        [state.tail, signal.astype(jnp.float32)], axis=-1)
+
+    frame = jax.vmap(lambda s, off, ln: _frame(s, n_frames, off, ln),
+                     in_axes=(0, None, None))
 
     # --- spectra of the frame being enhanced -----------------------------
-    xw = window.apply_window(_frame(s_pad, n_frames, _X_OFF, C.WINDOW_SIZE))
+    xw = window.apply_window(frame(s_pad, _X_OFF, C.WINDOW_SIZE))
     xr, xi = dft.forward_dft(xw)
     ex = bands.band_energy(xr, xi)
 
     # --- pitch track ------------------------------------------------------
-    pitch_bufs = _frame(s_pad, n_frames, _PITCH_OFF, C.PITCH_BUF_SIZE)
-    track = pitch.pitch_track(pitch_bufs, state.period, state.gain)
+    pitch_bufs = frame(s_pad, _PITCH_OFF, C.PITCH_BUF_SIZE)
+    track = jax.vmap(pitch.pitch_track)(pitch_bufs, state.period, state.gain)
     period = track["period"]
 
-    # --- comb filter ------------------------------------------------------
-    pw = comb.comb_filter_windows(s_pad, n_frames, _X_OFF, period)
+    # --- comb filter (Pallas kernel on TPU) -------------------------------
+    pw = comb.comb_filter_windows_batch(s_pad, period, _X_OFF)
     pw = window.apply_window(pw)
     pr, pi = dft.forward_dft(pw)
     ep = bands.band_energy(pr, pi)
@@ -110,7 +118,7 @@ def analyze_utterance(signal: jax.Array, state: FrontendState | None = None):
     silence = jnp.sum(ex, axis=-1) < 0.1
 
     # --- lookahead energy + feature vector -------------------------------
-    lw = window.apply_window(_frame(s_pad, n_frames, _LOOK_OFF, C.WINDOW_SIZE))
+    lw = window.apply_window(frame(s_pad, _LOOK_OFF, C.WINDOW_SIZE))
     lr, li = dft.forward_dft(lw)
     ey_look = bands.band_energy(lr, li)
 
@@ -118,15 +126,24 @@ def analyze_utterance(signal: jax.Array, state: FrontendState | None = None):
     features = jnp.concatenate([
         ey_look * C.FEATURE_SCALE,
         exp * C.FEATURE_SCALE,
-        t_feat[:, None],
-        track["corr"][:, None],
+        t_feat[..., None],
+        track["corr"][..., None],
     ], axis=-1)
 
     new_state = FrontendState(
-        tail=s_pad[-PAD:],
+        tail=s_pad[:, -PAD:],
         period=track["final_period"],
         gain=track["final_gain"])
     out = dict(xr=xr, xi=xi, pr=pr, pi=pi, ex=ex, ep=ep, exp=exp,
                ey_look=ey_look, period=period, gain=track["gain"],
                corr=track["corr"], silence=silence, features=features)
     return out, new_state
+
+
+def analyze_utterance(signal: jax.Array, state: FrontendState | None = None):
+    """Single-utterance variant: signal [n_samples] -> dict of [T, ...]."""
+    if state is not None:
+        state = jax.tree.map(lambda x: x[None], state)
+    out, new_state = analyze_batch(signal[None], state)
+    return (jax.tree.map(lambda x: x[0], out),
+            jax.tree.map(lambda x: x[0], new_state))

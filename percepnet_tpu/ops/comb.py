@@ -1,34 +1,156 @@
 """Pitch comb filter: P(l) = sum_{k=-3..3} w_k x(t - pitch*k).
 
 The reference accumulates 7 shifted copies of the 960-sample analysis window
-from its ring buffer (denoise.cpp:419-422).  Batched, this is a gather of
-[T, 7, 960] samples from the padded utterance at data-dependent offsets
-(pitch varies per frame), contracted against the normalized Hann comb
-window (denoise.cpp:200-206).
+from its ring buffer (denoise.cpp:419-422), weighted by the normalized Hann
+comb window (denoise.cpp:200-206).
+
+TPU design: the shifts are data-dependent (pitch varies per frame), which
+XLA can only express as a giant element gather — measured ~1.7 s for
+128x200 frames on a v5e chip, the single hottest op in the frontend.  The
+Pallas kernel below instead keeps a tile of the signal in VMEM and, per
+frame, issues 7 row-aligned dynamic-slice loads plus a lane rotate
+(`pltpu.roll`), turning the gather into pure VMEM traffic: ~45 us for the
+same shape (~37,000x).
+
+Layout: the signal is viewed as [rows, 128] lanes.  A 960-sample window at
+arbitrary offset o spans 9 rows starting at o//128; the residual o%128 is a
+dynamic right-rotate by (1152 - o%128).  Tiles of 128 frames are DMA'd
+HBM->VMEM by the kernel itself (BlockSpec tiles cannot overlap, and
+neighboring frames share almost all their samples).
 """
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from percepnet_tpu import constants as C
+
+_LANE = 128
+_TT = 128                      # frames per tile; _TT*480 = 480 rows exactly
+_ROWS_PER_TILE = _TT * C.FRAME_SIZE // _LANE            # 480
+_MAX_SHIFT = C.COMB_M * C.PITCH_MAX_PERIOD              # 2304
+_WIN_ROWS = C.WINDOW_SIZE // _LANE + 2                  # 9 (unaligned span)
+# rows a tile can touch: last frame start (TT-1)*480 + x_off + MAX_SHIFT,
+# plus the 9-row read span, relative to the tile base row.
+_CHUNK = _WIN_ROWS * _LANE                              # 1152
+
+
+def _tile_rows(x_offset: int) -> int:
+    # max period after remove_doubling is 2*384+1 = 769 (pitch.cpp:510-526),
+    # so the max shift is 3*769; pad the row count to a multiple of 8.
+    max_start = (_TT - 1) * C.FRAME_SIZE + x_offset + 3 * (2 * 384 + 1)
+    rows = max_start // _LANE + _WIN_ROWS + 1
+    return -(-rows // 8) * 8
+
+
+def _comb_kernel(x_offset, p_ref, s_hbm, out_ref, scratch, sem):
+    w = [float(v) for v in C.comb_hann_window()]
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tile_rows = scratch.shape[0]
+    dma = pltpu.make_async_copy(
+        s_hbm.at[b, pl.ds(ti * _ROWS_PER_TILE, tile_rows), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    def body(t, _):
+        p = p_ref[0, 0, t]
+        base = t * C.FRAME_SIZE + x_offset
+        acc = jnp.zeros((1, C.WINDOW_SIZE), jnp.float32)
+        for kk in range(2 * C.COMB_M + 1):
+            start = base - p * (kk - C.COMB_M)
+            row = start // _LANE
+            sh = start % _LANE
+            chunk = scratch[pl.ds(row, _WIN_ROWS), :].reshape(1, _CHUNK)
+            rot = pltpu.roll(chunk, _CHUNK - sh, axis=1)
+            acc = acc + w[kk] * rot[:, : C.WINDOW_SIZE]
+        out_ref[0, t, :] = acc[0]
+        return 0
+
+    lax.fori_loop(0, _TT, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("x_offset",))
+def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
+    """s_pad [B, n_pad], period [B, T] -> [B, T, 960]."""
+    bsz, t = period.shape
+    n_tiles = -(-t // _TT)
+    t_pad = n_tiles * _TT
+    tile_rows = _tile_rows(x_offset)
+    rows_needed = (n_tiles - 1) * _ROWS_PER_TILE + tile_rows
+    n_pad = rows_needed * _LANE
+
+    s = s_pad
+    if s.shape[1] < n_pad:
+        s = jnp.pad(s, ((0, 0), (0, n_pad - s.shape[1])))
+    else:
+        s = s[:, :n_pad]
+    s2 = s.reshape(bsz, rows_needed, _LANE)
+    # clamp pad-region periods into the valid shift range
+    p = jnp.pad(period, ((0, 0), (0, t_pad - t)),
+                constant_values=C.PITCH_MIN_PERIOD)[:, None, :]
+
+    out = pl.pallas_call(
+        functools.partial(_comb_kernel, x_offset),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, _TT), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, _TT, C.WINDOW_SIZE),
+                               lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad, C.WINDOW_SIZE),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(p, s2)
+    return out[:, :t, :]
+
+
+def _comb_gather(s_pad: jax.Array, period: jax.Array, x_offset: int):
+    """Reference formulation: one big (slow on TPU) element gather."""
+    w = jnp.asarray(C.comb_hann_window())
+    t = period.shape[-1]
+    t_idx = jnp.arange(t, dtype=jnp.int32)[:, None, None] * C.FRAME_SIZE
+    k = jnp.arange(-C.COMB_M, C.COMB_M + 1, dtype=jnp.int32)[None, :, None]
+    i = jnp.arange(C.WINDOW_SIZE, dtype=jnp.int32)[None, None, :]
+    idx = t_idx + x_offset - period[..., :, None, None] * k + i
+
+    def one(s, ix):
+        return jnp.take(s, ix, axis=0)
+    taps = jax.vmap(one)(s_pad, jnp.broadcast_to(
+        idx, period.shape[:-1] + idx.shape[-3:]))
+    return jnp.einsum("btkw,k->btw", taps, w)
+
+
+def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
+                              x_offset: int) -> jax.Array:
+    """[B, T, WINDOW_SIZE] un-windowed comb outputs for a batch.
+
+    Args:
+      s_pad: [B, n_pad] padded signals (ring-buffer layout, frontend.PAD
+        leading zeros).
+      period: [B, T] int32 pitch period per frame.
+      x_offset: padded-sample offset of the analysis window (2400).
+    """
+    if jax.default_backend() == "tpu":
+        return _comb_pallas(s_pad, period, x_offset)
+    return _comb_gather(s_pad, period, x_offset)
 
 
 def comb_filter_windows(s_pad: jax.Array, n_frames: int, x_offset: int,
                         period: jax.Array) -> jax.Array:
-    """[T, WINDOW_SIZE] un-windowed comb outputs, one per frame.
-
-    Args:
-      s_pad: [pad + n_samples] padded signal.
-      n_frames: number of frames T.
-      x_offset: padded-index offset of the analysis window (2400).
-      period: [T] int32 pitch period per frame.
-    """
-    w = jnp.asarray(C.comb_hann_window())
-    t_idx = jnp.arange(n_frames, dtype=jnp.int32)[:, None, None] * C.FRAME_SIZE
-    k = jnp.arange(-C.COMB_M, C.COMB_M + 1, dtype=jnp.int32)[None, :, None]
-    i = jnp.arange(C.WINDOW_SIZE, dtype=jnp.int32)[None, None, :]
-    idx = t_idx + x_offset - period[:, None, None] * k + i
-    taps = jnp.take(s_pad, idx, axis=0)          # [T, 7, 960]
-    return jnp.einsum("tkw,k->tw", taps, w)
+    """Single-utterance variant: s_pad [n_pad], period [T] -> [T, 960]."""
+    del n_frames
+    return comb_filter_windows_batch(s_pad[None], period[None], x_offset)[0]

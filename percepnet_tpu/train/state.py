@@ -1,0 +1,83 @@
+"""Train state: params + optimizer + step, and the jitted update steps.
+
+The reference trains with Adam(lr=1e-4) on whole-sequence forward passes
+(rnn_train.py:335-355, :576).  Here the step is a pure function over a
+TrainState pytree, jitted once over a device mesh: batches arrive sharded on
+the utterance axis, params/opt-state replicated, and XLA inserts the gradient
+all-reduce over ICI.  Unlike the reference (which drops optimizer state and
+step count on save, rnn_train.py:320-333), the full state checkpoints.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from percepnet_tpu.models import percepnet
+from percepnet_tpu.train.loss import percepnet_loss
+
+
+class TrainState(NamedTuple):
+    params: percepnet.PercepNetParams
+    opt_state: Any
+    step: jax.Array  # int32 scalar
+
+
+def make_optimizer(learning_rate: float = 1e-4,
+                   clip_norm: float | None = None) -> optax.GradientTransformation:
+    """Adam as in rnn_train.py:576; optional global-norm clipping (off by
+    default for recipe parity — the reference does not clip)."""
+    tx = optax.adam(learning_rate)
+    if clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    return tx
+
+
+def init_train_state(key: jax.Array,
+                     tx: optax.GradientTransformation) -> TrainState:
+    params = percepnet.init_params(key)
+    return TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
+
+
+def loss_fn(params, features, targets):
+    """features [B,T,70] (x30-scaled), targets [B,T,68] = concat(g, r)."""
+    g, r, _ = percepnet.forward(params, features)
+    out = jnp.concatenate([g, r], axis=-1)
+    return percepnet_loss(out, targets)
+
+
+def train_step(state: TrainState, features, targets,
+               tx: optax.GradientTransformation):
+    """One SGD step; pure, jit under a closed-over `tx`."""
+    loss, grads = jax.value_and_grad(loss_fn)(state.params, features, targets)
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state, state.step + 1), loss
+
+
+def eval_step(state: TrainState, features, targets):
+    return loss_fn(state.params, features, targets)
+
+
+def make_jitted_steps(tx: optax.GradientTransformation, mesh=None):
+    """(train_step, eval_step) jitted; if `mesh` is given, data enters
+    sharded on the utterance axis and state stays replicated."""
+    if mesh is None:
+        step = jax.jit(lambda s, x, y: train_step(s, x, y, tx),
+                       donate_argnums=(0,))
+        return step, jax.jit(eval_step)
+
+    from percepnet_tpu.parallel import mesh as pm
+    data_s = pm.batch_sharding(mesh)
+    rep_s = pm.replicated_sharding(mesh)
+    step = jax.jit(
+        lambda s, x, y: train_step(s, x, y, tx),
+        in_shardings=(rep_s, data_s, data_s),
+        out_shardings=(rep_s, rep_s),
+        donate_argnums=(0,))
+    ev = jax.jit(eval_step, in_shardings=(rep_s, data_s, data_s),
+                 out_shardings=rep_s)
+    return step, ev

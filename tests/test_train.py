@@ -1,0 +1,114 @@
+"""Training subsystem tests: loss golden, step math, sharding, checkpoint.
+
+Runs on the 8-device virtual CPU mesh from conftest.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from percepnet_tpu.parallel import mesh as pm
+from percepnet_tpu.train import checkpoint as ckpt
+from percepnet_tpu.train import datasets, state as ts
+from percepnet_tpu.train.loss import percepnet_loss
+
+
+def test_loss_matches_reference_formula():
+    """Value parity with CustomLoss (rnn_train.py:153-176) at grad_eps=0."""
+    rng = np.random.default_rng(0)
+    out = rng.uniform(0.01, 0.99, (4, 7, 68)).astype(np.float32)
+    tgt = rng.uniform(0.01, 0.99, (4, 7, 68)).astype(np.float32)
+    g_hat, r_hat = out[..., :34], out[..., 34:]
+    g, r = tgt[..., :34], tgt[..., 34:]
+    dg = np.sqrt(g) - np.sqrt(g_hat)
+    dr = np.sqrt(1 - r) - np.sqrt(1 - r_hat)
+    want = (dg ** 2).mean() + 10.0 * (dg ** 4).mean() + (dr ** 2).mean()
+    got = percepnet_loss(jnp.asarray(out), jnp.asarray(tgt), grad_eps=0.0)
+    assert abs(float(got) - want) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def tiny_batch():
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (8, 6, 70)).astype(np.float32)
+    y = rng.uniform(0.05, 0.95, (8, 6, 68)).astype(np.float32)
+    return x, y
+
+
+def test_train_step_decreases_loss(tiny_batch):
+    x, y = tiny_batch
+    tx = ts.make_optimizer(1e-3)
+    state = ts.init_train_state(jax.random.PRNGKey(0), tx)
+    step, ev = ts.make_jitted_steps(tx)
+    first = float(ev(state, x, y))
+    for _ in range(5):
+        state, loss = step(state, x, y)
+    assert float(ev(state, x, y)) < first
+    assert int(state.step) == 5
+
+
+def test_sharded_step_matches_single_device(tiny_batch):
+    """DP over the 8-device mesh must be numerically equivalent."""
+    x, y = tiny_batch
+    tx = ts.make_optimizer(1e-4)
+
+    s1 = ts.init_train_state(jax.random.PRNGKey(0), tx)
+    step1, _ = ts.make_jitted_steps(tx)
+    s1, loss1 = step1(s1, x, y)
+
+    mesh = pm.make_mesh()
+    s8 = pm.replicate(mesh, ts.init_train_state(jax.random.PRNGKey(0), tx))
+    step8, _ = ts.make_jitted_steps(tx, mesh)
+    xs, ys = pm.shard_batch(mesh, (x, y))
+    s8, loss8 = step8(s8, xs, ys)
+
+    assert np.isclose(float(loss1), float(loss8), atol=1e-6)
+    a = jax.device_get(s1.params.fc["w"])
+    b = jax.device_get(s8.params.fc["w"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_batch):
+    x, y = tiny_batch
+    tx = ts.make_optimizer(1e-4)
+    state = ts.init_train_state(jax.random.PRNGKey(2), tx)
+    step, ev = ts.make_jitted_steps(tx)
+    state, _ = step(state, x, y)
+
+    path = str(tmp_path / "checkpoint-1.npz")
+    ckpt.save_checkpoint(path, jax.device_get(state))
+    template = ts.init_train_state(jax.random.PRNGKey(3), tx)
+    restored = ckpt.load_checkpoint(path, template)
+
+    assert int(restored.step) == 1
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert ckpt.latest_checkpoint(str(tmp_path)) == path
+
+
+def test_record_dataset_roundtrip(tmp_path):
+    """RecordListDataset applies the x30 quirk and chunks correctly."""
+    rng = np.random.default_rng(3)
+    rec = rng.uniform(0, 1, (25, 138)).astype(np.float32)
+    p = tmp_path / "a.out"
+    rec.tofile(p)
+    dset = datasets.RecordListDataset([str(p)], seq_len=10)
+    assert len(dset) == 2
+    got = dset[0]
+    np.testing.assert_allclose(got[:, :68], rec[:10, :68] * 30.0, rtol=1e-6)
+    np.testing.assert_allclose(got[:, 68:], rec[:10, 68:], rtol=1e-6)
+    x, yv = datasets.split_xy(got[None])
+    assert x.shape == (1, 10, 70) and yv.shape == (1, 10, 68)
+
+
+def test_batch_iterator_shards():
+    class Rng:
+        def __len__(self):
+            return 10
+        def __getitem__(self, i):
+            return np.full((3, 138), i, np.float32)
+    it = datasets.batch_iterator(Rng(), 4, seed=0, epochs=2)
+    batches = list(it)
+    assert len(batches) == 4  # 2 epochs x floor(10/4)
+    assert batches[0].shape == (4, 3, 138)
