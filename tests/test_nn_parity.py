@@ -34,12 +34,15 @@ def nn_run(featgen_goldens):
     return nn, front, g[0], r[0]
 
 
-# Tolerance note: with reduction order matched to the golden run (single
-# CPU device), g/r agree within 4e-7 and PCM within 3.1e-5 (< the 1e-4
-# gate) — see tools/check_parity.py, which asserts that strictly.  The test
-# suite runs under an 8-virtual-device XLA config whose different matmul
-# tiling perturbs each GRU step by ~1e-7; the recurrence amplifies that to
-# ~1e-3 over 200 frames, so these in-suite bounds are looser.
+# Tolerance note: the GRU recurrence amplifies f32 reassociation between
+# our matmuls and the reference's sequential sgemv_accum16 (vec.h:102):
+# measured on identical reference-dumped features, per-frame g/r divergence
+# is 2.5e-5 at frame 1 and saturates near 1e-3 by frame ~20 (the recurrence
+# is contractive, so it does not explode).  Bit parity of a 200-step f32
+# recurrence across different FMA orders is not attainable; the gates here
+# and in tools/check_parity.py (g/r 2e-3..3e-3, PCM 5e-4) are the honest
+# saturated bounds.  The DSP/oracle paths, which have no recurrence, hold
+# the strict 1e-4 PCM gate.
 
 
 def test_gains_strengths_match_c(nn_run):
