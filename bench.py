@@ -31,8 +31,9 @@ SAMPLE_RATE = 48_000
 def main(argv=None):
     del argv
     # Shape chosen for steady-state throughput: many parallel streams,
-    # chunks long enough to amortize scan overhead.
-    batch = 128
+    # chunks long enough to amortize scan overhead (throughput saturates
+    # near batch 256 on one v5e chip — GRU weight streaming amortized).
+    batch = 256
     n_frames = 200          # 2 s per stream per step
     n_samples = n_frames * 480
 

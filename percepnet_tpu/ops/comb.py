@@ -60,18 +60,26 @@ def _comb_kernel(x_offset, p_ref, s_hbm, out_ref, scratch, sem):
     dma.start()
     dma.wait()
 
+    n_rows = C.WINDOW_SIZE // _LANE + 1                 # 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, _LANE), 1)
+
     def body(t, _):
         p = p_ref[0, 0, t]
         base = t * C.FRAME_SIZE + x_offset
-        acc = jnp.zeros((1, C.WINDOW_SIZE), jnp.float32)
+        acc = jnp.zeros((n_rows, _LANE), jnp.float32)
         for kk in range(2 * C.COMB_M + 1):
             start = base - p * (kk - C.COMB_M)
             row = start // _LANE
             sh = start % _LANE
-            chunk = scratch[pl.ds(row, _WIN_ROWS), :].reshape(1, _CHUNK)
-            rot = pltpu.roll(chunk, _CHUNK - sh, axis=1)
-            acc = acc + w[kk] * rot[:, : C.WINDOW_SIZE]
-        out_ref[0, t, :] = acc[0]
+            chunk = scratch[pl.ds(row, _WIN_ROWS), :]   # [9, 128]
+            # unaligned window = per-row lane left-rotate by sh, then pick
+            # row v for lanes < 128-sh and row v+1 above — one HW rotate
+            # per vreg instead of a flat 1152-wide dynamic rotate.
+            rot = pltpu.roll(chunk, (_LANE - sh) % _LANE, axis=1)
+            shifted = jnp.where(lane < _LANE - sh, rot[:n_rows],
+                                rot[1 : n_rows + 1])
+            acc = acc + w[kk] * shifted
+        out_ref[0, t, :] = acc.reshape(1, n_rows * _LANE)[0, : C.WINDOW_SIZE]
         return 0
 
     lax.fori_loop(0, _TT, body, 0)

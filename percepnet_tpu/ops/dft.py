@@ -17,14 +17,23 @@ import jax.numpy as jnp
 from percepnet_tpu import constants as C
 
 
-def _tables(n: int):
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_table(n: int):
+    """[n, 2*(n//2+1)] fused [cos | -sin] forward table (one matmul)."""
+    import numpy as np
     c, s = C.rdft_matrices(n)
-    return jnp.asarray(c), jnp.asarray(s)
+    return np.concatenate([c, -s], axis=0).T.copy()
 
 
-def _itables(n: int):
+@functools.lru_cache(maxsize=None)
+def _inv_table(n: int):
+    """[2*(n//2+1), n] fused [cos; -sin] inverse table (one matmul)."""
+    import numpy as np
     c, s = C.irdft_matrices(n)
-    return jnp.asarray(c), jnp.asarray(s)
+    return np.concatenate([c, -s], axis=1).T.copy()
 
 
 def forward_dft(x: jax.Array, *, precision=jax.lax.Precision.HIGHEST):
@@ -35,12 +44,15 @@ def forward_dft(x: jax.Array, *, precision=jax.lax.Precision.HIGHEST):
     Returns:
       (Xr, Xi): each [..., n//2 + 1].  Matches the reference
       forward_transform = FFT(x)/n truncated to the half spectrum.
+
+    One fused [n, 2*freq] matmul produces both parts.  precision=HIGHEST
+    (bf16x6) is load-bearing: the 1e-4 PCM parity gate fails at DEFAULT
+    (bf16x3) because band energies square the spectra.
     """
     n = x.shape[-1]
-    c, s = _tables(n)
-    xr = jnp.matmul(x, c.T, precision=precision)
-    xi = -jnp.matmul(x, s.T, precision=precision)
-    return xr, xi
+    freq = n // 2 + 1
+    xcs = jnp.matmul(x, jnp.asarray(_fwd_table(n)), precision=precision)
+    return xcs[..., :freq], xcs[..., freq:]
 
 
 def inverse_dft(xr: jax.Array, xi: jax.Array, *,
@@ -56,6 +68,5 @@ def inverse_dft(xr: jax.Array, xi: jax.Array, *,
     """
     freq = xr.shape[-1]
     n = 2 * (freq - 1)
-    c, s = _itables(n)
-    return (jnp.matmul(xr, c.T, precision=precision)
-            - jnp.matmul(xi, s.T, precision=precision))
+    z = jnp.concatenate([xr, xi], axis=-1)
+    return jnp.matmul(z, jnp.asarray(_inv_table(n)), precision=precision)
