@@ -54,11 +54,20 @@ def main(argv=None):
            if args.config else TrainConfig(**overrides))
 
     shard, nshards = jax.process_index(), jax.process_count()
-    train_set = datasets.RecordListDataset(
-        datasets.read_filelist(args.train_filelist), cfg.seq_len,
-        shard_id=shard, num_shards=nshards)
-    train_iter = datasets.batch_iterator(
-        train_set, cfg.batch_size, seed=cfg.seed)
+    train_files = datasets.read_filelist(args.train_filelist)
+    from percepnet_tpu.io import native
+    if native.available():
+        train_iter = native.NativeBatchLoader(
+            train_files, cfg.seq_len, cfg.batch_size,
+            shard_id=shard, num_shards=nshards, seed=cfg.seed)
+        logging.getLogger("percepnet_tpu.train").info(
+            "using native C++ batch loader (%d chunks)",
+            train_iter.num_chunks())
+    else:
+        train_set = datasets.RecordListDataset(
+            train_files, cfg.seq_len, shard_id=shard, num_shards=nshards)
+        train_iter = datasets.batch_iterator(
+            train_set, cfg.batch_size, seed=cfg.seed)
 
     dev_batches = []
     if args.dev_filelist:

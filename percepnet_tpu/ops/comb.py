@@ -111,7 +111,7 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
         in_specs=[
             pl.BlockSpec((1, 1, _TT), lambda b, i: (b, 0, i),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, _TT, C.WINDOW_SIZE),
                                lambda b, i: (b, i, 0),

@@ -6,13 +6,19 @@ multi-chip path).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force the hermetic 8-device virtual CPU mesh.  The environment ships an
+# axon TPU shim that rewrites jax_platforms to "axon,cpu" at import time —
+# env vars (even explicit JAX_PLATFORMS=cpu) do NOT win; the config must be
+# updated after `import jax`, before first backend use.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

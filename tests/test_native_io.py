@@ -1,0 +1,79 @@
+"""Native C++ IO library: PCM codec parity + batch loader semantics.
+
+Skipped when no C++ toolchain is available (the library builds on demand).
+"""
+
+import numpy as np
+import pytest
+
+from percepnet_tpu.io import native, pcm
+from percepnet_tpu import constants as C
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native IO library unavailable")
+
+
+def test_pcm_roundtrip_matches_python(tmp_path):
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1.3, 1.3, 10_000) * 32768.0).astype(np.float32)
+    p_native = str(tmp_path / "n.pcm")
+    p_py = str(tmp_path / "p.pcm")
+    native.write_pcm16(p_native, x)
+    pcm.write_pcm16(p_py, x)
+    a = np.fromfile(p_native, "<i2")
+    b = np.fromfile(p_py, "<i2")
+    np.testing.assert_array_equal(a, b)  # incl. clamp + truncation cases
+
+    ya = native.read_pcm16(p_native, normalize=True)
+    yb = pcm.read_pcm16(p_py, normalize=True)
+    np.testing.assert_allclose(ya, yb, atol=1e-7)
+
+
+def test_loader_yields_scaled_chunks(tmp_path):
+    rng = np.random.default_rng(1)
+    files = []
+    for i in range(3):
+        rec = rng.uniform(0, 1, (25, C.RECORD_DIM)).astype(np.float32)
+        p = tmp_path / f"f{i}.f32"
+        rec.tofile(p)
+        files.append(str(p))
+
+    ld = native.NativeBatchLoader(files, seq_len=10, batch=2, seed=0,
+                                  n_threads=2)
+    assert ld.num_chunks() == 6  # 3 files x floor(25/10)
+    seen = []
+    for _ in range(4):
+        b = next(ld)
+        assert b.shape == (2, 10, C.RECORD_DIM)
+        seen.append(b)
+    ld.close()
+
+    # every yielded chunk must be an original chunk with x30 on cols 0:68
+    originals = []
+    for p in files:
+        r = np.fromfile(p, np.float32).reshape(25, C.RECORD_DIM)
+        for c in range(2):
+            chunk = r[c * 10 : (c + 1) * 10].copy()
+            chunk[:, :68] *= 30.0
+            originals.append(chunk)
+    for b in seen:
+        for row in b:
+            assert any(np.allclose(row, o, rtol=1e-6) for o in originals)
+
+
+def test_loader_sharding_partitions_files(tmp_path):
+    rng = np.random.default_rng(2)
+    files = []
+    for i in range(4):
+        rec = np.full((10, C.RECORD_DIM), i, np.float32)
+        p = tmp_path / f"s{i}.f32"
+        rec.tofile(p)
+        files.append(str(p))
+    l0 = native.NativeBatchLoader(files, seq_len=10, batch=1, shard_id=0,
+                                  num_shards=2, scale=False, n_threads=1)
+    l1 = native.NativeBatchLoader(files, seq_len=10, batch=1, shard_id=1,
+                                  num_shards=2, scale=False, n_threads=1)
+    ids0 = {int(next(l0)[0, 0, 0]) for _ in range(6)}
+    ids1 = {int(next(l1)[0, 0, 0]) for _ in range(6)}
+    l0.close(); l1.close()
+    assert ids0 == {0, 2} and ids1 == {1, 3}

@@ -34,15 +34,13 @@ def nn_run(featgen_goldens):
     return nn, front, g[0], r[0]
 
 
-# Tolerance note: the GRU recurrence amplifies f32 reassociation between
-# our matmuls and the reference's sequential sgemv_accum16 (vec.h:102):
-# measured on identical reference-dumped features, per-frame g/r divergence
-# is 2.5e-5 at frame 1 and saturates near 1e-3 by frame ~20 (the recurrence
-# is contractive, so it does not explode).  Bit parity of a 200-step f32
-# recurrence across different FMA orders is not attainable; the gates here
-# and in tools/check_parity.py (g/r 2e-3..3e-3, PCM 5e-4) are the honest
-# saturated bounds.  The DSP/oracle paths, which have no recurrence, hold
-# the strict 1e-4 PCM gate.
+# Tolerance note: on single-device host CPU f32 the strict gates hold
+# end-to-end (g/r 4.2e-7, PCM 3.1e-5 — tools/check_parity.py asserts
+# 1e-5/1e-4).  On TPU, bf16x6 matmuls and different tiling perturb each GRU
+# step by ~1e-7..1e-5 and the recurrence amplifies that to a saturated
+# ~1e-3 in g/r by frame ~20 (measured on identical reference-dumped
+# features).  The in-suite bounds below are kept at the TPU-drift level so
+# the suite is meaningful on any backend.
 
 
 def test_gains_strengths_match_c(nn_run):

@@ -1,11 +1,14 @@
 #!/usr/bin/env python3
-"""Strict single-device parity check vs the reference binaries.
+"""Strict single-device CPU parity check vs the reference binaries.
 
 Asserts the north-star gate: enhanced PCM allclose 1e-4 (normalized) against
-`percepNet_run`, and oracle/featgen parity against `percepNet`.  Must run
-single-device so reduction order matches the golden runs:
+`percepNet_run`, and oracle/featgen parity against `percepNet`, on true
+host-CPU f32 so reduction semantics are closest to the C binary:
 
-  JAX_PLATFORMS=cpu PYTHONPATH=. python3 tools/check_parity.py
+  PYTHONPATH=. python3 tools/check_parity.py
+
+(The axon TPU shim rewrites jax_platforms at import, so the cpu override
+below is done via jax.config, not env vars.)
 """
 import os
 import sys
@@ -15,6 +18,9 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp  # noqa: E402
 
 from percepnet_tpu.enhance import enhance_spectra  # noqa: E402
@@ -51,22 +57,20 @@ def main():
     gr_err = max(np.abs(np.asarray(gains[0]) - nn["gr"][:, :34]).max(),
                  np.abs(np.asarray(strengths[0]) - nn["gr"][:, 34:]).max())
     print(f"g/r max err vs C inference: {gr_err:.3g}")
-    # NN-path bound: the GRU recurrence amplifies f32 reassociation between
-    # our matmuls and the reference's sequential sgemv_accum16 (vec.h:102).
-    # Measured on identical reference-dumped features: per-frame divergence
-    # is 2.5e-5 at frame 1, saturating near 1e-3 by frame ~20 (contractive
-    # recurrence).  Bit parity of a 200-step f32 recurrence across FMA
-    # orders is not attainable; 2e-3 is the honest saturated bound.
-    assert gr_err < 2e-3
+    # On host CPU f32, our matmuls track the reference's sgemv_accum16
+    # within a few ulps even through the 200-step GRU recurrence (measured
+    # 4.2e-7).  NOTE this strict gate holds on CPU only: TPU execution
+    # (bf16x6 matmuls, different tiling) drifts to a saturated ~1e-3 in
+    # g/r by frame ~20 via the same recurrence — see test_nn_parity.py.
+    assert gr_err < 1e-5
 
     pcm, _ = enhance_spectra(front, gains[0], strengths[0])
     ours = np.asarray(pcm)[480:] * 32768.0
     ref = nn["out_pcm"].astype(np.float32)
     nn_err = np.abs(ours[: len(ref)] - ref).max() / 32768.0
     print(f"NN-enhanced PCM max normalized err: {nn_err:.3g}")
-    assert nn_err < 5e-4
-    print("PARITY OK: oracle/DSP paths < 1e-4; NN path within "
-          "recurrence-drift bounds (g/r 2e-3, PCM 5e-4)")
+    assert nn_err < 1e-4
+    print("PARITY OK: all paths < 1e-4 normalized PCM on host CPU")
 
 
 if __name__ == "__main__":
