@@ -99,6 +99,69 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
         write_pcm16(path, y[skip : skip + keep], scale=32768.0)
 
 
+def enhance_streaming(params, in_path, out_path, *,
+                      drop_first_frame: bool = True, compat: bool = False,
+                      report_latency: bool = False):
+    """Frame-by-frame streaming enhancement (10 ms hop), like the
+    reference binary's loop (main.cpp:30-39): one jitted step per frame
+    with a carried state pytree.  Algorithmic latency is the reference's
+    60 ms (lookahead) + per-frame compute latency."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from percepnet_tpu import constants as C
+    from percepnet_tpu import pipeline
+    from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
+
+    kw = {}
+    if compat:
+        from percepnet_tpu.ops.activations import sigmoid_approx, \
+            tansig_approx
+        kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
+
+    step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
+                   donate_argnums=(2,))
+    signal = read_pcm16(in_path, normalize=True)
+    n_frames = len(signal) // C.FRAME_SIZE
+    state = pipeline.init_pipeline_state(1)
+    # warm up compile on a dummy frame-shaped input
+    _, state = step(params, jnp.zeros((1, C.FRAME_SIZE)), state)
+    state = pipeline.init_pipeline_state(1)
+
+    # Frame-by-frame steps; transfers are left async so the host<->device
+    # round-trip (milliseconds through a remote TPU tunnel, microseconds on
+    # a co-located host) pipelines instead of serializing per frame.
+    outs = []
+    total = n_frames + pipeline.flush_frames()
+    for t in range(total):
+        frame = signal[t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE]
+        buf = np.zeros(C.FRAME_SIZE, np.float32)
+        buf[: len(frame)] = frame
+        pcm, state = step(params, jnp.asarray(buf)[None], state)
+        outs.append(pcm)
+    y = np.concatenate([np.asarray(o[0]) for o in outs])
+    skip = C.FRAME_SIZE if drop_first_frame else 0
+    write_pcm16(out_path, y[skip : skip + n_frames * C.FRAME_SIZE - skip],
+                scale=32768.0)
+    if report_latency:
+        # steady-state per-step wall time (compute + dispatch), measured
+        # without per-frame host transfers
+        stt = pipeline.init_pipeline_state(1)
+        zero = jnp.zeros((1, C.FRAME_SIZE))
+        o, stt = step(params, zero, stt)
+        jax.block_until_ready(o)
+        n = 50
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o, stt = step(params, zero, stt)
+        jax.block_until_ready(o)
+        ms = (time.perf_counter() - t0) / n * 1e3
+        print(f"per-frame step time: {ms:.2f} ms "
+              f"(budget 10.0 for real-time 48 kHz)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="percepnet-tpu enhance",
                                  description=__doc__.splitlines()[0])
@@ -111,6 +174,10 @@ def main(argv=None):
                     help="disable the reference's dropped first frame")
     ap.add_argument("--compat", action="store_true",
                     help="use the C inference tansig/sigmoid tables")
+    ap.add_argument("--streaming", action="store_true",
+                    help="frame-by-frame real-time mode (one 10 ms frame "
+                         "per step, carried state)")
+    ap.add_argument("--report-latency", action="store_true")
     args = ap.parse_args(argv)
 
     if args.out_dir:
@@ -123,9 +190,16 @@ def main(argv=None):
         ins, outs = [args.pcm[0]], [args.pcm[1]]
 
     params = load_params(args.weights)
-    enhance_files(params, ins, outs, batch_frames=args.batch_frames,
-                  drop_first_frame=not args.keep_first_frame,
-                  compat=args.compat)
+    if args.streaming:
+        for i, o in zip(ins, outs):
+            enhance_streaming(params, i, o,
+                              drop_first_frame=not args.keep_first_frame,
+                              compat=args.compat,
+                              report_latency=args.report_latency)
+    else:
+        enhance_files(params, ins, outs, batch_frames=args.batch_frames,
+                      drop_first_frame=not args.keep_first_frame,
+                      compat=args.compat)
 
 
 if __name__ == "__main__":

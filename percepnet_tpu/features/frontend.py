@@ -56,7 +56,12 @@ def init_state() -> FrontendState:
 
 
 def _frame(s_pad: jax.Array, n_frames: int, offset: int, length: int):
-    """[n_frames, length] sliding windows: s_pad[t*480 + offset : +length]."""
+    """[n_frames, length] sliding windows: s_pad[t*480 + offset : +length].
+
+    Static-index gather.  (A hop-sized reshape+concat formulation is ~25%
+    faster in isolation but loses ~6 ms in the fused frontend — the concat
+    layout interacts badly with the window/DFT/decimation consumers.)
+    """
     idx = (jnp.arange(n_frames)[:, None] * C.FRAME_SIZE
            + offset + jnp.arange(length)[None, :])
     return jnp.take(s_pad, idx, axis=0)
@@ -94,16 +99,24 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
     s_pad = jnp.concatenate(
         [state.tail, signal.astype(jnp.float32)], axis=-1)
 
-    frame = jax.vmap(lambda s, off, ln: _frame(s, n_frames, off, ln),
-                     in_axes=(0, None, None))
+    frame = jax.vmap(lambda s, nf, off, ln: _frame(s, nf, off, ln),
+                     in_axes=(0, None, None, None))
 
     # --- spectra of the frame being enhanced -----------------------------
-    xw = window.apply_window(frame(s_pad, _X_OFF, C.WINDOW_SIZE))
-    xr, xi = dft.forward_dft(xw)
-    ex = bands.band_energy(xr, xi)
+    # The lookahead window of frame t (offset 4800, denoise.cpp:498-506)
+    # covers exactly the same samples as the analysis window of frame t+5
+    # (offset 2400 + 5*480), so ONE extended DFT pass over T+5 frames
+    # yields both the X spectra (rows :T) and the lookahead band energies
+    # (rows 5:) — a third of the frontend's transform work eliminated.
+    n_ext = n_frames + C.FRAME_LOOKAHEAD
+    xw = window.apply_window(frame(s_pad, n_ext, _X_OFF, C.WINDOW_SIZE))
+    xr_ext, xi_ext = dft.forward_dft(xw)
+    ex_ext = bands.band_energy(xr_ext, xi_ext)
+    xr, xi = xr_ext[:, :n_frames], xi_ext[:, :n_frames]
+    ex = ex_ext[:, :n_frames]
 
     # --- pitch track ------------------------------------------------------
-    pitch_bufs = frame(s_pad, _PITCH_OFF, C.PITCH_BUF_SIZE)
+    pitch_bufs = frame(s_pad, n_frames, _PITCH_OFF, C.PITCH_BUF_SIZE)
     track = jax.vmap(pitch.pitch_track)(pitch_bufs, state.period, state.gain)
     period = track["period"]
 
@@ -118,9 +131,7 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
     silence = jnp.sum(ex, axis=-1) < 0.1
 
     # --- lookahead energy + feature vector -------------------------------
-    lw = window.apply_window(frame(s_pad, _LOOK_OFF, C.WINDOW_SIZE))
-    lr, li = dft.forward_dft(lw)
-    ey_look = bands.band_energy(lr, li)
+    ey_look = ex_ext[:, C.FRAME_LOOKAHEAD:]
 
     t_feat = period.astype(jnp.float32) / C.PITCH_T_NORM
     features = jnp.concatenate([

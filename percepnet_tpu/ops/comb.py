@@ -32,8 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from percepnet_tpu import constants as C
 
 _LANE = 128
-_TT = 128                      # frames per tile; _TT*480 = 480 rows exactly
-_ROWS_PER_TILE = _TT * C.FRAME_SIZE // _LANE            # 480
+_TT = 128           # frames per full tile; tt*480 must divide by 128 (tt%4==0)
 _MAX_SHIFT = C.COMB_M * C.PITCH_MAX_PERIOD              # 2304
 _WIN_ROWS = C.WINDOW_SIZE // _LANE + 2                  # 9 (unaligned span)
 # rows a tile can touch: last frame start (TT-1)*480 + x_off + MAX_SHIFT,
@@ -41,21 +40,29 @@ _WIN_ROWS = C.WINDOW_SIZE // _LANE + 2                  # 9 (unaligned span)
 _CHUNK = _WIN_ROWS * _LANE                              # 1152
 
 
-def _tile_rows(x_offset: int) -> int:
+def _pick_tt(t: int) -> int:
+    """Frames per tile: full 128 for long utterances, a small multiple of 4
+    for short/streaming calls (a T=1 streaming step must not pay for a
+    128-frame tile)."""
+    return _TT if t >= _TT else max(4, -(-t // 4) * 4)
+
+
+def _tile_rows(tt: int, x_offset: int) -> int:
     # max period after remove_doubling is 2*384+1 = 769 (pitch.cpp:510-526),
     # so the max shift is 3*769; pad the row count to a multiple of 8.
-    max_start = (_TT - 1) * C.FRAME_SIZE + x_offset + 3 * (2 * 384 + 1)
+    max_start = (tt - 1) * C.FRAME_SIZE + x_offset + 3 * (2 * 384 + 1)
     rows = max_start // _LANE + _WIN_ROWS + 1
     return -(-rows // 8) * 8
 
 
-def _comb_kernel(x_offset, p_ref, s_hbm, out_ref, scratch, sem):
+def _comb_kernel(x_offset, tt, p_ref, s_hbm, out_ref, scratch, sem):
     w = [float(v) for v in C.comb_hann_window()]
     b = pl.program_id(0)
     ti = pl.program_id(1)
     tile_rows = scratch.shape[0]
+    rows_per_tile = tt * C.FRAME_SIZE // _LANE
     dma = pltpu.make_async_copy(
-        s_hbm.at[b, pl.ds(ti * _ROWS_PER_TILE, tile_rows), :],
+        s_hbm.at[b, pl.ds(ti * rows_per_tile, tile_rows), :],
         scratch, sem)
     dma.start()
     dma.wait()
@@ -82,17 +89,19 @@ def _comb_kernel(x_offset, p_ref, s_hbm, out_ref, scratch, sem):
         out_ref[0, t, :] = acc.reshape(1, n_rows * _LANE)[0, : C.WINDOW_SIZE]
         return 0
 
-    lax.fori_loop(0, _TT, body, 0)
+    lax.fori_loop(0, tt, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("x_offset",))
 def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
     """s_pad [B, n_pad], period [B, T] -> [B, T, 960]."""
     bsz, t = period.shape
-    n_tiles = -(-t // _TT)
-    t_pad = n_tiles * _TT
-    tile_rows = _tile_rows(x_offset)
-    rows_needed = (n_tiles - 1) * _ROWS_PER_TILE + tile_rows
+    tt = _pick_tt(t)
+    n_tiles = -(-t // tt)
+    t_pad = n_tiles * tt
+    tile_rows = _tile_rows(tt, x_offset)
+    rows_per_tile = tt * C.FRAME_SIZE // _LANE
+    rows_needed = (n_tiles - 1) * rows_per_tile + tile_rows
     n_pad = rows_needed * _LANE
 
     s = s_pad
@@ -106,14 +115,14 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
                 constant_values=C.PITCH_MIN_PERIOD)[:, None, :]
 
     out = pl.pallas_call(
-        functools.partial(_comb_kernel, x_offset),
+        functools.partial(_comb_kernel, x_offset, tt),
         grid=(bsz, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, _TT), lambda b, i: (b, 0, i),
+            pl.BlockSpec((1, 1, tt), lambda b, i: (b, 0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, _TT, C.WINDOW_SIZE),
+        out_specs=pl.BlockSpec((1, tt, C.WINDOW_SIZE),
                                lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, C.WINDOW_SIZE),

@@ -48,6 +48,12 @@ def forward_dft(x: jax.Array, *, precision=jax.lax.Precision.HIGHEST):
     One fused [n, 2*freq] matmul produces both parts.  precision=HIGHEST
     (bf16x6) is load-bearing: the 1e-4 PCM parity gate fails at DEFAULT
     (bf16x3) because band energies square the spectra.
+
+    Perf note: a Pallas kernel fusing framing+window into this matmul
+    (signal tiles in VMEM, rotate-extract, per-tile [128,960] matmuls) was
+    measured ~1.8x SLOWER than XLA's fused gather+multiply+giant-matmul —
+    the single [B*T, 960] x [960, 1924] contraction gets far better MXU
+    utilization than 128-row tiles.  Keep the matmul in XLA's hands.
     """
     n = x.shape[-1]
     freq = n // 2 + 1
