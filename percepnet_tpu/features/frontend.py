@@ -116,13 +116,14 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
     ex = ex_ext[:, :n_frames]
 
     # --- pitch track ------------------------------------------------------
-    pitch_bufs = frame(s_pad, n_frames, _PITCH_OFF, C.PITCH_BUF_SIZE)
-    track = jax.vmap(pitch.pitch_track)(pitch_bufs, state.period, state.gain)
+    # decimate the stream once and frame at half hop: bit-identical to
+    # per-frame [1728] buffers, without materializing them
+    ds = pitch.downsample_frames_from_stream(s_pad, n_frames, _PITCH_OFF)
+    track = jax.vmap(pitch.pitch_track_ds)(ds, state.period, state.gain)
     period = track["period"]
 
-    # --- comb filter (Pallas kernel on TPU) -------------------------------
+    # --- comb filter (Pallas kernel on TPU; window fused inside) ----------
     pw = comb.comb_filter_windows_batch(s_pad, period, _X_OFF)
-    pw = window.apply_window(pw)
     pr, pi = dft.forward_dft(pw)
     ep = bands.band_energy(pr, pi)
     exp_raw = bands.band_corr(xr, xi, pr, pi)

@@ -40,6 +40,16 @@ _WIN_ROWS = C.WINDOW_SIZE // _LANE + 2                  # 9 (unaligned span)
 _CHUNK = _WIN_ROWS * _LANE                              # 1152
 
 
+@functools.lru_cache(maxsize=None)
+def _vorbis_rows_np():
+    """The 960-sample analysis window laid out as [8, 128] vreg rows
+    (lanes 960..1023 zero)."""
+    import numpy as np
+    vw = np.zeros((8, _LANE), np.float32)
+    vw.reshape(-1)[: C.WINDOW_SIZE] = C.full_window()
+    return vw
+
+
 def _pick_tt(t: int) -> int:
     """Frames per tile: full 128 for long utterances, a small multiple of 4
     for short/streaming calls (a T=1 streaming step must not pay for a
@@ -55,7 +65,8 @@ def _tile_rows(tt: int, x_offset: int) -> int:
     return -(-rows // 8) * 8
 
 
-def _comb_kernel(x_offset, tt, p_ref, s_hbm, out_ref, scratch, sem):
+def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
+                 sem):
     w = [float(v) for v in C.comb_hann_window()]
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -69,6 +80,10 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, out_ref, scratch, sem):
 
     n_rows = C.WINDOW_SIZE // _LANE + 1                 # 8
     lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, _LANE), 1)
+    # analysis window folded into the store: one multiply per frame here
+    # replaces a whole [T, 960] window pass downstream (same f32 multiply,
+    # bit-identical result)
+    vorbis = vorbis_ref[:, :]
 
     def body(t, _):
         p = p_ref[0, 0, t]
@@ -86,6 +101,7 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, out_ref, scratch, sem):
             shifted = jnp.where(lane < _LANE - sh, rot[:n_rows],
                                 rot[1 : n_rows + 1])
             acc = acc + w[kk] * shifted
+        acc = acc * vorbis
         out_ref[0, t, :] = acc.reshape(1, n_rows * _LANE)[0, : C.WINDOW_SIZE]
         return 0
 
@@ -121,6 +137,8 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
             pl.BlockSpec((1, 1, tt), lambda b, i: (b, 0, i),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, _LANE), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tt, C.WINDOW_SIZE),
                                lambda b, i: (b, i, 0),
@@ -131,7 +149,7 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
             pltpu.VMEM((tile_rows, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
-    )(p, s2)
+    )(p, s2, jnp.asarray(_vorbis_rows_np()))
     return out[:, :t, :]
 
 
@@ -148,12 +166,16 @@ def _comb_gather(s_pad: jax.Array, period: jax.Array, x_offset: int):
         return jnp.take(s, ix, axis=0)
     taps = jax.vmap(one)(s_pad, jnp.broadcast_to(
         idx, period.shape[:-1] + idx.shape[-3:]))
-    return jnp.einsum("btkw,k->btw", taps, w)
+    return jnp.einsum("btkw,k->btw", taps, w) * jnp.asarray(C.full_window())
 
 
 def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
                               x_offset: int) -> jax.Array:
-    """[B, T, WINDOW_SIZE] un-windowed comb outputs for a batch.
+    """[B, T, WINDOW_SIZE] analysis-windowed comb outputs for a batch.
+
+    Output = apply_window(comb taps sum), i.e. the windowed P buffer fed
+    straight to the DFT (denoise.cpp:419-424); the window multiply is
+    fused into both implementations.
 
     Args:
       s_pad: [B, n_pad] padded signals (ring-buffer layout, frontend.PAD
@@ -168,6 +190,7 @@ def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
 
 def comb_filter_windows(s_pad: jax.Array, n_frames: int, x_offset: int,
                         period: jax.Array) -> jax.Array:
-    """Single-utterance variant: s_pad [n_pad], period [T] -> [T, 960]."""
+    """Single-utterance variant: s_pad [n_pad], period [T] -> [T, 960]
+    windowed comb outputs."""
     del n_frames
     return comb_filter_windows_batch(s_pad[None], period[None], x_offset)[0]

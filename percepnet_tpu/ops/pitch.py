@@ -106,21 +106,13 @@ def _levinson4(ac: jax.Array) -> jax.Array:
     return jnp.stack(lpc, axis=-1)
 
 
-def pitch_downsample(x: jax.Array) -> jax.Array:
-    """[..., 1728] pitch buffer -> [..., 864] decimated + whitened signal.
+def _whiten(ds: jax.Array) -> jax.Array:
+    """[..., 864] decimated signal -> LPC-whitened (pitch.cpp:160-216).
 
-    Steps (pitch.cpp:148-216): 2x decimation with a [.25 .5 .25] smoother,
     5-lag autocorrelation with noise floor (*1.0001) and lag windowing,
-    order-4 LPC, 0.9^i bandwidth expansion, add-a-zero -> 5-tap FIR whitener.
+    order-4 LPC, 0.9^i bandwidth expansion, add-a-zero -> 5-tap FIR.
     """
-    n = x.shape[-1] // 2  # 864
-    even = x[..., 0::2]
-    odd = x[..., 1::2]
-    prev_odd = jnp.concatenate(
-        [jnp.zeros_like(odd[..., :1]), odd[..., :-1]], axis=-1)
-    ds = 0.25 * (prev_odd + odd) + 0.5 * even
-    # x_lp[0] = .25*x[1] + .5*x[0]  (prev_odd[0]=0 already gives this)
-
+    n = ds.shape[-1]
     # 5-lag autocorrelation: ac[k] = sum_{i>=k} ds[i]*ds[i-k]
     ac = jnp.stack(
         [jnp.sum(ds[..., k:] * ds[..., : n - k] if k else ds * ds, axis=-1)
@@ -148,6 +140,51 @@ def pitch_downsample(x: jax.Array) -> jax.Array:
             [jnp.zeros_like(ds[..., : m + 1]), ds[..., : n - m - 1]], axis=-1)
         y = y + num[..., m : m + 1] * shifted
     return y
+
+
+def pitch_downsample(x: jax.Array) -> jax.Array:
+    """[..., 1728] pitch buffer -> [..., 864] decimated + whitened signal.
+
+    Steps (pitch.cpp:148-216): 2x decimation with a [.25 .5 .25] smoother,
+    then _whiten.
+    """
+    even = x[..., 0::2]
+    odd = x[..., 1::2]
+    prev_odd = jnp.concatenate(
+        [jnp.zeros_like(odd[..., :1]), odd[..., :-1]], axis=-1)
+    ds = 0.25 * (prev_odd + odd) + 0.5 * even
+    # x_lp[0] = .25*x[1] + .5*x[0]  (prev_odd[0]=0 already gives this)
+    return _whiten(ds)
+
+
+def downsample_frames_from_stream(s_pad: jax.Array, n_frames: int,
+                                  offset: int) -> jax.Array:
+    """[B, n_pad] signal -> [B, T, 864] decimated+whitened pitch frames.
+
+    Equivalent to pitch_downsample over per-frame [1728] buffers at
+    `offset + t*480`, but decimates the STREAM once and frames at hop 240 —
+    skipping the [B, T, 1728] buffer materialization.  Column 0 of each
+    frame is patched to the buffer-boundary value (.25*x[1] + .5*x[0],
+    reference's zero-history start), making the decimated frames
+    bit-identical to the per-buffer path.
+    """
+    even = s_pad[..., 0::2]
+    odd = s_pad[..., 1::2]
+    prev_odd = jnp.concatenate(
+        [jnp.zeros_like(odd[..., :1]), odd[..., :-1]], axis=-1)
+    ds_stream = 0.25 * (prev_odd + odd) + 0.5 * even
+
+    hop2 = C.FRAME_SIZE // 2
+    idx = (jnp.arange(n_frames)[:, None] * hop2 + offset // 2
+           + jnp.arange(_DS_LEN)[None, :])
+    dsf = jax.vmap(lambda s: jnp.take(s, idx, axis=0))(ds_stream)
+
+    base = jnp.arange(n_frames) * C.FRAME_SIZE + offset
+    xe = jax.vmap(lambda s: jnp.take(s, base, axis=0))(s_pad)
+    xo = jax.vmap(lambda s: jnp.take(s, base + 1, axis=0))(s_pad)
+    col0 = 0.25 * xo + 0.5 * xe
+    dsf = jnp.concatenate([col0[..., None], dsf[..., 1:]], axis=-1)
+    return _whiten(dsf)
 
 
 # --------------------------------------------------------------------------
@@ -499,7 +536,16 @@ def pitch_track(pitch_bufs: jax.Array,
       dict with period [T] int32, gain [T], corr [T] float32, and the final
       (period, gain) state for streaming continuation.
     """
-    ds = pitch_downsample(pitch_bufs)
+    return pitch_track_ds(pitch_downsample(pitch_bufs),
+                          init_period, init_gain)
+
+
+@partial(jax.jit, static_argnames=())
+def pitch_track_ds(ds: jax.Array,
+                   init_period: jax.Array | None = None,
+                   init_gain: jax.Array | None = None):
+    """pitch_track given precomputed [T, 864] decimated+whitened frames
+    (see downsample_frames_from_stream)."""
     xc = full_xcorr(ds)
     w = forward_window_energies(ds)
     yy = yy_lookup_table(ds, w)

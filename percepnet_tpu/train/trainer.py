@@ -64,11 +64,22 @@ class Trainer:
     def __init__(self, config: TrainConfig,
                  train_iter: Iterator[np.ndarray],
                  dev_batches: list[np.ndarray] | None = None,
-                 mesh=None):
+                 mesh=None, tensorboard: bool = True):
         self.config = config
         self.train_iter = train_iter
         self.dev_batches = dev_batches or []
-        self.mesh = mesh if mesh is not None else pm.make_mesh()
+        if mesh is None:
+            # batch is sharded over the mesh, so its size must divide the
+            # batch; use the largest prefix of devices that does
+            devs = jax.devices()
+            n = len(devs)
+            while config.batch_size % n:
+                n -= 1
+            if n < len(devs):
+                log.warning("batch_size %d not divisible by %d devices; "
+                            "using %d", config.batch_size, len(devs), n)
+            mesh = pm.make_mesh(devs[:n])
+        self.mesh = mesh
         self.tx = ts.make_optimizer(config.learning_rate,
                                     config.grad_clip_norm)
         self.state = pm.replicate(
@@ -77,6 +88,46 @@ class Trainer:
         self._train_step, self._eval_step = ts.make_jitted_steps(
             self.tx, self.mesh)
         self.history: list[dict[str, Any]] = []
+        # TensorBoard scalars + intermediate-result heatmaps, like the
+        # reference (rnn_train.py:431-462); optional dependency.
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(
+                    os.path.join(config.out_dir, "tb"))
+            except Exception:
+                pass
+
+    def _record(self, rec: dict[str, Any]) -> None:
+        self.history.append(rec)
+        path = os.path.join(self.config.out_dir, "history.jsonl")
+        os.makedirs(self.config.out_dir, exist_ok=True)
+        with open(path, "a") as f:
+            import json
+            f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            step = rec.get("step", 0)
+            for k, v in rec.items():
+                if k != "step" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, step)
+
+    def _log_heatmaps(self, step: int) -> None:
+        """Predicted vs target g/r heatmaps on the first dev batch
+        (the reference's intermediate-result images, rnn_train.py:431-457)."""
+        if self._tb is None or not self.dev_batches:
+            return
+        import jax.numpy as jnp
+        from percepnet_tpu.models import percepnet as model
+        x, y = datasets.split_xy(self.dev_batches[0][:1])
+        g, r, _ = model.forward(jax.device_get(self.state.params),
+                                jnp.asarray(x))
+        for name, pred, tgt in [("g", g[0], y[0, :, :34]),
+                                ("r", r[0], y[0, :, 34:])]:
+            self._tb.add_image(f"eval/{name}_predicted",
+                               np.asarray(pred).T[None], step)
+            self._tb.add_image(f"eval/{name}_target",
+                               np.asarray(tgt).T[None], step)
 
     # --- checkpointing ----------------------------------------------------
     def save(self) -> str:
@@ -131,16 +182,22 @@ class Trainer:
                 if step % cfg.log_interval_steps == 0:
                     dt = time.time() - t0
                     sps = (step - steps0) / max(dt, 1e-9)
+                    audio_s = (sps * cfg.batch_size * cfg.seq_len
+                               * 480 / 48_000)
                     rec = {"step": step, "loss": float(loss),
-                           "steps_per_s": round(sps, 3)}
-                    self.history.append(rec)
+                           "steps_per_s": round(sps, 3),
+                           "train_audio_s_per_s": round(audio_s, 1)}
+                    self._record(rec)
                     log.info("%s", rec)
                 if step % cfg.eval_interval_steps == 0 and self.dev_batches:
                     ev = self.evaluate()
-                    self.history.append({"step": step, "eval_loss": ev})
+                    self._record({"step": step, "eval_loss": ev})
+                    self._log_heatmaps(step)
                     log.info("eval step %d loss %.6f", step, ev)
                 if step % cfg.save_interval_steps == 0:
                     self.save()
         finally:
             # always save a final checkpoint (rnn_train.py:644-650)
             self.save()
+            if self._tb is not None:
+                self._tb.flush()

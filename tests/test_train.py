@@ -112,3 +112,32 @@ def test_batch_iterator_shards():
     batches = list(it)
     assert len(batches) == 4  # 2 epochs x floor(10/4)
     assert batches[0].shape == (4, 3, 138)
+
+
+def test_trainer_loop_and_observability(tmp_path):
+    """Trainer end-to-end: intervals, history.jsonl, checkpoint, resume."""
+    from percepnet_tpu.train.trainer import Trainer, TrainConfig
+
+    rng = np.random.default_rng(7)
+    rec = rng.uniform(0.05, 0.95, (2, 6, 138)).astype(np.float32)
+
+    def it():
+        while True:
+            yield rec
+
+    cfg = TrainConfig(batch_size=2, seq_len=6, train_max_steps=3,
+                      log_interval_steps=1, eval_interval_steps=2,
+                      save_interval_steps=2, out_dir=str(tmp_path))
+    tr = Trainer(cfg, it(), dev_batches=[rec], tensorboard=False)
+    tr.run()
+
+    assert (tmp_path / "history.jsonl").exists()
+    lines = (tmp_path / "history.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 3  # 3 loss logs + 1 eval
+    assert any("eval_loss" in ln for ln in lines)
+    assert (tmp_path / "checkpoint-3.npz").exists()
+
+    # resume picks up the newest checkpoint
+    tr2 = Trainer(cfg, it(), tensorboard=False)
+    assert tr2.restore()
+    assert int(jax.device_get(tr2.state.step)) == 3
