@@ -6,6 +6,7 @@ import sys
 
 COMMANDS = {
     "enhance": ("percepnet_tpu.cli.enhance", "main"),
+    "evaluate": ("percepnet_tpu.cli.evaluate", "main"),
     "featgen": ("percepnet_tpu.cli.featgen", "main"),
     "train": ("percepnet_tpu.cli.train", "main"),
     "export": ("percepnet_tpu.cli.export", "main"),

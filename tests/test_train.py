@@ -141,3 +141,27 @@ def test_trainer_loop_and_observability(tmp_path):
     tr2 = Trainer(cfg, it(), tensorboard=False)
     assert tr2.restore()
     assert int(jax.device_get(tr2.state.step)) == 3
+
+
+def test_h5_datasets(tmp_path):
+    """H5Dataset (window slicing, no x30 — the reference quirk) and
+    H5DirDataset."""
+    h5py = pytest.importorskip("h5py")
+    rng = np.random.default_rng(11)
+    data = rng.uniform(0, 1, (23, 138)).astype(np.float32)
+    p = tmp_path / "data.h5"
+    with h5py.File(p, "w") as f:
+        f.create_dataset("data", data=data)
+
+    dset = datasets.H5Dataset(str(p), window_size=10)
+    assert len(dset) == 2
+    np.testing.assert_allclose(dset[1], data[10:20])  # NO x30
+
+    d2 = tmp_path / "dir"
+    d2.mkdir()
+    for i in range(3):
+        with h5py.File(d2 / f"u{i}.h5", "w") as f:
+            f.create_dataset("data", data=np.full((4, 138), i, np.float32))
+    dd = datasets.H5DirDataset(str(d2))
+    assert len(dd) == 3
+    assert float(dd[2][0, 0]) == 2.0
