@@ -33,7 +33,7 @@ def main(argv=None):
     # Shape chosen for steady-state throughput: many parallel streams,
     # chunks long enough to amortize scan overhead (throughput saturates
     # near batch 256 on one v5e chip — GRU weight streaming amortized).
-    batch = 256
+    batch = 512
     n_frames = 200          # 2 s per stream per step
     n_samples = n_frames * 480
 

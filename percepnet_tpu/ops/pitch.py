@@ -191,15 +191,30 @@ def downsample_frames_from_stream(s_pad: jax.Array, n_frames: int,
 # find_best_pitch (pitch.cpp:46-104), vectorized top-2
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _band_ones(n: int, length: int, n_out: int):
+    """Static banded [n, n_out] 0/1 matrix: col j sums rows [j, j+length)."""
+    import numpy as np
+    m = np.zeros((n, n_out), np.float32)
+    for j in range(n_out):
+        m[j : j + length, j] = 1.0
+    return m
+
+
 def _window_energy(y: jax.Array, length: int, n_out: int) -> jax.Array:
     """W[b, j] = sum_{i<length} y[b, j+i]^2 for j < n_out.
 
-    Cumsum-difference formulation.  NOTE a banded-ones matmul is ~4x
-    faster here, but its different reduction order flips borderline pitch
-    decisions vs the reference binary (measured g/r err 1.4e-3 > the 1e-5
-    gate on the golden clip), so the cumsum rounding is load-bearing: it
-    is what the parity goldens were validated against.
+    CPU: cumsum-difference — its reduction order is what the strict parity
+    goldens were validated against (a different order flips borderline
+    pitch decisions; measured g/r 1.4e-3 vs the 1e-5 gate).
+    TPU: banded-ones MXU matmul, ~4x faster; TPU numerics already differ
+    from the CPU goldens at the same magnitude through matmul tiling, so
+    the tie-break behavior there is covered by the documented drift
+    bounds, not bit parity.
     """
+    if jax.default_backend() == "tpu":
+        band = jnp.asarray(_band_ones(y.shape[-1], length, n_out))
+        return jnp.matmul(y * y, band, precision=HIGHEST)
     y2 = y * y
     c = jnp.cumsum(y2, axis=-1)
     c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
@@ -450,19 +465,27 @@ def remove_doubling_precompute(xc_all: jax.Array, yy_look: jax.Array,
     t1b = jnp.clip(t1b, 0, _MAX_PERIOD_H)
 
     cand_t = jnp.concatenate([t0[..., None], t1], axis=-1)     # [..., 15]
-    lag3 = jnp.clip(cand_t[..., None] + jnp.arange(-1, 2), 0,
-                    _MAX_PERIOD_H)                              # [..., 15, 3]
-    s3 = lag3.shape
-    lag3f = lag3.reshape(s3[:-2] + (s3[-2] * s3[-1],))
 
-    # ONE batched lookup per source array: xc needs [t0|t1|t1b|lag3] = 74
-    # indices, yy needs [t0|t1|t1b] = 29.
-    xc_idx = jnp.concatenate([cand_t, t1b, lag3f], axis=-1)
-    xc_v = _onehot_take(xc_all, xc_idx)
-    yy_v = _onehot_take(yy_look, jnp.concatenate([cand_t, t1b], axis=-1))
+    # Final pseudo-interp offset (pitch.cpp:510-521) vectorized over ALL
+    # lags q (pure shifts — no gather), then one-hot selected at the
+    # candidates; the lag-edge clip matches jnp.take's clip semantics.
+    c0_all = jnp.concatenate([xc_all[..., :1], xc_all[..., :-1]], axis=-1)
+    c2_all = jnp.concatenate([xc_all[..., 1:], xc_all[..., -1:]], axis=-1)
+    off_all = jnp.where((c2_all - c0_all) > 0.7 * (xc_all - c0_all), 1,
+                        jnp.where((c0_all - c2_all) > 0.7 * (xc_all - c2_all),
+                                  -1, 0))
+    q = jnp.arange(_MAX_PERIOD_H + 1, dtype=jnp.int32)
+    period_all = jnp.maximum(2 * q + off_all, C.PITCH_MIN_PERIOD)
+
+    # ONE batched lookup per source array: xc needs [t0|t1|t1b] = 29
+    # indices, yy 29, period_all 15.
+    t_idx = jnp.concatenate([cand_t, t1b], axis=-1)
+    xc_v = _onehot_take(xc_all, t_idx)
+    yy_v = _onehot_take(yy_look, t_idx)
+    cand_period = _onehot_take(period_all.astype(jnp.float32),
+                               cand_t).astype(jnp.int32)
 
     xy0, xc_t1, xc_t1b = xc_v[..., 0], xc_v[..., 1:15], xc_v[..., 15:29]
-    xc3 = xc_v[..., 29:].reshape(s3)
     yy0, yy_t1, yy_t1b = yy_v[..., 0], yy_v[..., 1:15], yy_v[..., 15:29]
 
     g0 = _pitch_gain(xy0, xx, yy0)
@@ -479,12 +502,6 @@ def remove_doubling_precompute(xc_all: jax.Array, yy_look: jax.Array,
     pg = jnp.where(cand_yy <= best_xy, 1.0, best_xy / (cand_yy + 1.0))
     pg = jnp.minimum(pg, cand_g)
 
-    # final pseudo-interp offset per candidate (pitch.cpp:510-521)
-    c0, c1v, c2 = xc3[..., 0], xc3[..., 1], xc3[..., 2]
-    offset = jnp.where((c2 - c0) > 0.7 * (c1v - c0), 1,
-                       jnp.where((c0 - c2) > 0.7 * (c1v - c2), -1, 0))
-    cand_period = jnp.maximum(2 * cand_t + offset,
-                              C.PITCH_MIN_PERIOD).astype(jnp.int32)
     return {"t1": t1, "valid": valid, "g0": g0, "g1": g1,
             "cand_period": cand_period, "cand_gain": pg}
 
