@@ -174,15 +174,20 @@ def downsample_frames_from_stream(s_pad: jax.Array, n_frames: int,
         [jnp.zeros_like(odd[..., :1]), odd[..., :-1]], axis=-1)
     ds_stream = 0.25 * (prev_odd + odd) + 0.5 * even
 
+    # buffer-boundary column: strided slices, no gather.
+    # (A Pallas kernel fusing framing+patch+whiten was measured ~3x SLOWER
+    # than this XLA path: the 5 per-frame lag autocorrelations need
+    # cross-lane tree reductions that dominate; XLA's fused elementwise
+    # passes at HBM bandwidth win.)
+    end = offset + (n_frames - 1) * C.FRAME_SIZE + 2
+    xe = s_pad[..., offset : end : C.FRAME_SIZE]
+    xo = s_pad[..., offset + 1 : end : C.FRAME_SIZE]
+    col0 = 0.25 * xo + 0.5 * xe
+
     hop2 = C.FRAME_SIZE // 2
     idx = (jnp.arange(n_frames)[:, None] * hop2 + offset // 2
            + jnp.arange(_DS_LEN)[None, :])
     dsf = jax.vmap(lambda s: jnp.take(s, idx, axis=0))(ds_stream)
-
-    base = jnp.arange(n_frames) * C.FRAME_SIZE + offset
-    xe = jax.vmap(lambda s: jnp.take(s, base, axis=0))(s_pad)
-    xo = jax.vmap(lambda s: jnp.take(s, base + 1, axis=0))(s_pad)
-    col0 = 0.25 * xo + 0.5 * xe
     dsf = jnp.concatenate([col0[..., None], dsf[..., 1:]], axis=-1)
     return _whiten(dsf)
 
