@@ -213,13 +213,24 @@ def forward(params: PercepNetParams, features: jax.Array,
     # scan over time: move T to the leading axis
     xs = (jnp.moveaxis(pre1, 1, 0), jnp.moveaxis(pre_rb_conv, 1, 0))
     carry, ys = lax.scan(step, init, xs)
-    h1s, h2s, h3s, hgbs, hrbs = (jnp.moveaxis(y, 0, 1) for y in ys)
+    h1s, h2s, h3s, hgbs, hrbs = ys                      # [T, B, .]
 
-    gb_in = jnp.concatenate([conv_out, h1s, h2s, h3s, hgbs], axis=-1)
-    gains = act_sigmoid(jnp.matmul(gb_in, params.fc_gb["w"], precision=_P)
-                        + params.fc_gb["b"])
-    strengths = act_sigmoid(jnp.matmul(hrbs, params.fc_rb["w"], precision=_P)
-                            + params.fc_rb["b"])
+    # Apply the output heads in scan layout ([T, B, .]) and transpose only
+    # the 34-wide results — transposing five [T, B, 512] stacks costs ~2 GB
+    # of relayout traffic at production batch sizes.
+    d = C.CONV_DIM
+    w_gb = params.fc_gb["w"]
+    gb_logits = (jnp.matmul(jnp.moveaxis(conv_out, 1, 0), w_gb[:d],
+                            precision=_P)
+                 + jnp.matmul(h1s, w_gb[d : 2 * d], precision=_P)
+                 + jnp.matmul(h2s, w_gb[2 * d : 3 * d], precision=_P)
+                 + jnp.matmul(h3s, w_gb[3 * d : 4 * d], precision=_P)
+                 + jnp.matmul(hgbs, w_gb[4 * d :], precision=_P)
+                 + params.fc_gb["b"])
+    gains = act_sigmoid(jnp.moveaxis(gb_logits, 0, 1))
+    strengths = act_sigmoid(jnp.moveaxis(
+        jnp.matmul(hrbs, params.fc_rb["w"], precision=_P)
+        + params.fc_rb["b"], 0, 1))
 
     new_state = ModelState(c1_mem, c2_mem, *carry)
     return gains, strengths, new_state
