@@ -1,0 +1,64 @@
+"""Fast CLI-layer tests (no accelerator work beyond tiny shapes)."""
+
+import numpy as np
+
+from percepnet_tpu import constants as C
+
+
+def test_split_dataset_cli(tmp_path):
+    from percepnet_tpu.cli.data import split_main
+    feats = tmp_path / "feats"
+    feats.mkdir()
+    for i in range(5):
+        (feats / f"f{i}.f32").write_bytes(b"\0" * 16)
+    split_main([str(feats), "--out-dir", str(tmp_path), "--frac", "0.6"])
+    train = (tmp_path / "train_filelist.txt").read_text().splitlines()
+    dev = (tmp_path / "dev_filelist.txt").read_text().splitlines()
+    assert len(train) == 3 and len(dev) == 2
+    assert not set(train) & set(dev)
+
+
+def test_bin2h5_cli(tmp_path):
+    import pytest
+    pytest.importorskip("h5py")
+    import h5py
+    from percepnet_tpu.cli.data import bin2h5_main
+    rec = np.arange(3 * C.RECORD_DIM, dtype=np.float32)
+    src = tmp_path / "r.f32"
+    rec.tofile(src)
+    dst = tmp_path / "r.h5"
+    bin2h5_main([str(src), str(dst)])
+    with h5py.File(dst) as f:
+        np.testing.assert_array_equal(np.asarray(f["data"]),
+                                      rec.reshape(3, C.RECORD_DIM))
+
+
+def test_evaluate_pair(tmp_path):
+    from percepnet_tpu.cli.evaluate import evaluate_pair
+    from percepnet_tpu.io.pcm import write_pcm16
+    rng = np.random.default_rng(0)
+    t = np.arange(2 * 48000) / 48000
+    clean = 0.3 * np.sin(2 * np.pi * np.cumsum(200 + 50 * np.sin(2 * np.pi * t)) / 48000)
+    noisy = clean + 0.05 * rng.normal(size=len(clean))
+    cp, ep = str(tmp_path / "c.pcm"), str(tmp_path / "e.pcm")
+    write_pcm16(cp, clean, scale=32768.0)
+    write_pcm16(ep, noisy, scale=32768.0)
+    m = evaluate_pair(cp, ep, align=False)
+    assert 10 < m["si_sdr_db"] < 30
+    assert 0 < m["stoi"] <= 1.0
+    # identical files: near-perfect
+    m2 = evaluate_pair(cp, cp, align=False)
+    assert m2["si_sdr_db"] > 40
+
+
+def test_enhance_load_params_roundtrip(tmp_path):
+    import jax
+    from percepnet_tpu.cli.enhance import load_params
+    from percepnet_tpu.models.percepnet import init_params
+    from percepnet_tpu.train.checkpoint import save_params_npz
+    params = init_params(jax.random.PRNGKey(0))
+    p = str(tmp_path / "w.npz")
+    save_params_npz(p, params)
+    loaded = load_params(p)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
