@@ -1,0 +1,68 @@
+"""StreamingServer: slot lifecycle, per-stream isolation, correctness."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from percepnet_tpu import constants as C
+from percepnet_tpu import pipeline
+from percepnet_tpu.models import percepnet
+from percepnet_tpu.serve import StreamingServer
+
+
+def test_server_matches_batch_pipeline():
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+    srv = StreamingServer(params, capacity=3)
+    n_frames = 8
+    sig = 0.1 * np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (1, n_frames * C.FRAME_SIZE)))
+
+    ref, _ = pipeline.enhance_chunk(
+        params, jnp.asarray(sig), pipeline.init_pipeline_state(1))
+
+    sid = srv.attach()
+    got = []
+    for t in range(n_frames):
+        srv.submit(sid, sig[0, t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE])
+        got.append(srv.step()[sid])
+    got = np.concatenate(got)
+    np.testing.assert_allclose(got, np.asarray(ref)[0], atol=2e-5)
+
+
+def test_server_slot_lifecycle_and_isolation():
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+    srv = StreamingServer(params, capacity=2)
+    a = srv.attach()
+    b = srv.attach()
+    assert a != b
+    try:
+        srv.attach()
+        raise AssertionError("expected capacity error")
+    except RuntimeError:
+        pass
+
+    rng = np.random.default_rng(2)
+    sig_a = (0.1 * rng.normal(size=6 * C.FRAME_SIZE)).astype(np.float32)
+
+    # stream b gets silence; its output must stay silent while a's doesn't
+    outs_a = []
+    for t in range(6):
+        srv.submit(a, sig_a[t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE])
+        out = srv.step()
+        outs_a.append(out[a])
+        np.testing.assert_allclose(out[b], 0.0, atol=1e-6)
+    assert np.abs(np.concatenate(outs_a)).max() > 0
+
+    # detaching and re-attaching reuses the slot with FRESH state
+    srv.detach(b)
+    c = srv.attach()
+    assert c == b
+    ref_solo, _ = pipeline.enhance_chunk(
+        params, jnp.asarray(sig_a[None, : 6 * C.FRAME_SIZE]),
+        pipeline.init_pipeline_state(1))
+    outs_c = []
+    for t in range(6):
+        srv.submit(c, sig_a[t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE])
+        outs_c.append(srv.step()[c])
+    np.testing.assert_allclose(np.concatenate(outs_c),
+                               np.asarray(ref_solo)[0], atol=2e-4)
