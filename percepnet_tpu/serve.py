@@ -40,18 +40,37 @@ class StreamingServer:
     after a stream ends, feed `flush_frames()` zero frames to drain.
     """
 
-    def __init__(self, params, capacity: int = 64, *, compat: bool = False):
-        self.params = params
+    def __init__(self, params, capacity: int = 64, *, compat: bool = False,
+                 mesh=None):
+        """mesh: optional jax.sharding mesh — slots shard across chips
+        (capacity must be divisible by the mesh size), params replicate,
+        and the tick becomes one SPMD step over all chips."""
         self.capacity = capacity
         kw = {}
         if compat:
             from percepnet_tpu.ops.activations import sigmoid_approx, \
                 tansig_approx
             kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
-        self._step = jax.jit(
-            lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
-            donate_argnums=(2,))
-        self._state = pipeline.init_pipeline_state(capacity)
+        if mesh is not None:
+            from percepnet_tpu.parallel import mesh as pm
+            assert capacity % mesh.devices.size == 0, \
+                "capacity must divide across the mesh"
+            data_s = pm.batch_sharding(mesh)
+            rep_s = pm.replicated_sharding(mesh)
+            self.params = pm.replicate(mesh, params)
+            self._step = jax.jit(
+                lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
+                in_shardings=(rep_s, data_s, data_s),
+                out_shardings=(data_s, data_s),
+                donate_argnums=(2,))
+            self._state = jax.device_put(
+                pipeline.init_pipeline_state(capacity), data_s)
+        else:
+            self.params = params
+            self._step = jax.jit(
+                lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
+                donate_argnums=(2,))
+            self._state = pipeline.init_pipeline_state(capacity)
         self._zero_state = jax.tree.map(jnp.copy, self._state)
         self._free = list(range(capacity))[::-1]
         self._active: set[int] = set()

@@ -66,3 +66,24 @@ def test_server_slot_lifecycle_and_isolation():
         outs_c.append(srv.step()[c])
     np.testing.assert_allclose(np.concatenate(outs_c),
                                np.asarray(ref_solo)[0], atol=2e-4)
+
+
+def test_server_over_device_mesh():
+    """Slots shard across the 8-device mesh; behavior matches single-device."""
+    from percepnet_tpu.parallel import mesh as pm
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+    mesh = pm.make_mesh()
+    srv = StreamingServer(params, capacity=8, mesh=mesh)
+    solo = StreamingServer(params, capacity=1)
+
+    rng = np.random.default_rng(3)
+    sig = (0.1 * rng.normal(size=5 * C.FRAME_SIZE)).astype(np.float32)
+    sid = srv.attach()
+    ss = solo.attach()
+    for t in range(5):
+        frame = sig[t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE]
+        srv.submit(sid, frame)
+        solo.submit(ss, frame)
+        a = srv.step()[sid]
+        b = solo.step()[ss]
+        np.testing.assert_allclose(a, b, atol=2e-4)
