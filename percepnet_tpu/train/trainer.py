@@ -173,8 +173,26 @@ class Trainer:
         cfg.dump(os.path.join(cfg.out_dir, "config.yml"))
         step = int(jax.device_get(self.state.step))
         t0, steps0 = time.time(), step
+
+        # Preemption safety (the reference loses progress since the last
+        # interval save): SIGTERM/SIGINT request a checkpoint-and-exit at
+        # the next step boundary; resume picks it up exactly.
+        stop = {"now": False}
+
+        def _on_signal(signum, frame):
+            del frame
+            log.warning("signal %d: checkpointing and stopping", signum)
+            stop["now"] = True
+
+        import signal
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:       # non-main thread
+                pass
         try:
-            while step < cfg.train_max_steps:
+            while step < cfg.train_max_steps and not stop["now"]:
                 batch = next(self.train_iter)
                 x, y = self._device_batch(batch)
                 self.state, loss = self._train_step(self.state, x, y)
@@ -201,3 +219,5 @@ class Trainer:
             self.save()
             if self._tb is not None:
                 self._tb.flush()
+            for sig, h in old_handlers.items():
+                signal.signal(sig, h)

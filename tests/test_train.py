@@ -165,3 +165,36 @@ def test_h5_datasets(tmp_path):
     dd = datasets.H5DirDataset(str(d2))
     assert len(dd) == 3
     assert float(dd[2][0, 0]) == 2.0
+
+
+def test_trainer_preemption_checkpoint(tmp_path):
+    """SIGTERM mid-run checkpoints at the step boundary; resume continues."""
+    import os
+    import signal
+
+    from percepnet_tpu.train.trainer import Trainer, TrainConfig
+
+    rng = np.random.default_rng(8)
+    rec = rng.uniform(0.05, 0.95, (2, 6, 138)).astype(np.float32)
+    fired = {"done": False}
+
+    def it():
+        while True:
+            if not fired["done"]:
+                fired["done"] = True
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield rec
+
+    cfg = TrainConfig(batch_size=2, seq_len=6, train_max_steps=50,
+                      log_interval_steps=100, eval_interval_steps=100,
+                      save_interval_steps=100, out_dir=str(tmp_path))
+    tr = Trainer(cfg, it(), tensorboard=False)
+    tr.run()  # should stop early via the signal, not run 50 steps
+
+    step = int(jax.device_get(tr.state.step))
+    assert 1 <= step < 50
+    assert (tmp_path / f"checkpoint-{step}.npz").exists()
+
+    tr2 = Trainer(cfg, it(), tensorboard=False)
+    assert tr2.restore()
+    assert int(jax.device_get(tr2.state.step)) == step
