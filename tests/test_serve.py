@@ -64,8 +64,11 @@ def test_server_slot_lifecycle_and_isolation():
     for t in range(6):
         srv.submit(c, sig_a[t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE])
         outs_c.append(srv.step()[c])
+    # capacity-2 batch vs batch-1 reference: GRU recurrence amplifies the
+    # different matmul tiling to ~1e-4..1e-3 (see test_pipeline notes); a
+    # state-isolation bug would be orders louder
     np.testing.assert_allclose(np.concatenate(outs_c),
-                               np.asarray(ref_solo)[0], atol=2e-4)
+                               np.asarray(ref_solo)[0], atol=2e-3)
 
 
 def test_server_over_device_mesh():
