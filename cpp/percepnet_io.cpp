@@ -23,7 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <deque>
+#include <map>
 #include <mutex>
 #include <random>
 #include <string>
@@ -76,16 +76,27 @@ class Loader {
   }
 
   int64_t NumChunks() const { return (int64_t)chunks_.size(); }
+  int64_t FailedReads() const { return failed_reads_.load(); }
 
-  // Blocking: copy the next ready batch into out. Returns 0 on success.
+  // Blocking: copy the next ready batch into out. Returns 0 on success,
+  // -1 on shutdown, -2 if the chunk index is empty (no readable file holds
+  // at least seq_len frames) — callers must surface that, not hang.
   int Next(float* out) {
+    if (chunks_.empty()) return -2;
     std::unique_lock<std::mutex> lk(mu_);
-    cv_pop_.wait(lk, [this] { return !queue_.empty() || stop_; });
-    if (queue_.empty()) return -1;
-    Batch b = std::move(queue_.front());
-    queue_.pop_front();
+    // Batches are delivered strictly in stream order (keyed on the claimed
+    // base position), so the stream is deterministic for any n_threads —
+    // matching batch_iterator's seeded semantics for resume reproducibility.
+    cv_pop_.wait(lk, [this] {
+      return ready_.count(next_deliver_) != 0 || stop_;
+    });
+    auto it = ready_.find(next_deliver_);
+    if (it == ready_.end()) return -1;
+    Batch b = std::move(it->second);
+    ready_.erase(it);
+    next_deliver_ += batch_;
     lk.unlock();
-    cv_push_.notify_one();
+    cv_push_.notify_all();
     memcpy(out, b.data.data(), b.data.size() * sizeof(float));
     return 0;
   }
@@ -127,6 +138,17 @@ class Loader {
   void Work(int) {
     if (chunks_.empty()) return;
     while (true) {
+      // gate BEFORE claiming a position: at most queue_cap_ finished
+      // batches wait in ready_, plus one in flight per worker.  The worker
+      // holding the lowest unclaimed base is never blocked here, so the
+      // in-order delivery in Next() cannot deadlock.
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_push_.wait(lk, [this] {
+          return (int)ready_.size() < queue_cap_ || stop_;
+        });
+        if (stop_) return;
+      }
       // assemble one batch from `batch_` consecutive stream positions
       int64_t base = next_pos_.fetch_add(batch_);
       Batch b;
@@ -134,18 +156,19 @@ class Loader {
       for (int i = 0; i < batch_; ++i) {
         Chunk c = ChunkAt(base + i);
         if (!ReadChunk(c, b.data.data() +
-                               (size_t)i * seq_len_ * record_dim_))
+                               (size_t)i * seq_len_ * record_dim_)) {
+          // zero-fill the row but COUNT it — a deleted/truncated file
+          // mid-training must not silently corrupt the data stream
           memset(b.data.data() + (size_t)i * seq_len_ * record_dim_, 0,
                  (size_t)seq_len_ * record_dim_ * 4);
+          failed_reads_.fetch_add(1);
+        }
       }
       std::unique_lock<std::mutex> lk(mu_);
-      cv_push_.wait(lk, [this] {
-        return (int)queue_.size() < queue_cap_ || stop_;
-      });
       if (stop_) return;
-      queue_.push_back(std::move(b));
+      ready_.emplace(base, std::move(b));
       lk.unlock();
-      cv_pop_.notify_one();
+      cv_pop_.notify_all();
     }
   }
 
@@ -160,9 +183,11 @@ class Loader {
 
   std::mutex mu_, order_mu_;
   std::condition_variable cv_pop_, cv_push_;
-  std::deque<Batch> queue_;
+  std::map<int64_t, Batch> ready_;  // base stream position -> batch
+  int64_t next_deliver_ = 0;
   std::vector<std::thread> workers_;
   std::atomic<int64_t> next_pos_{0};
+  std::atomic<int64_t> failed_reads_{0};
   std::vector<int64_t> order_;
   int64_t order_epoch_ = -1;
   bool stop_;
@@ -184,6 +209,10 @@ void* pn_loader_create(const char** files, int n_files, int seq_len,
 
 int64_t pn_loader_num_chunks(void* h) {
   return static_cast<Loader*>(h)->NumChunks();
+}
+
+int64_t pn_loader_failed_reads(void* h) {
+  return static_cast<Loader*>(h)->FailedReads();
 }
 
 int pn_loader_next(void* h, float* out) {

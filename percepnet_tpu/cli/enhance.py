@@ -35,13 +35,10 @@ def load_params(path: str):
         with np.load(path) as z:
             keys = set(z.files)
         if "step" in keys:
-            # full TrainState checkpoint: pull the params subtree
-            from percepnet_tpu.train.state import make_optimizer, \
-                init_train_state
-            tx = make_optimizer()
-            st = ckpt.load_checkpoint(
-                path, init_train_state(jax.random.PRNGKey(0), tx))
-            return st.params
+            # full TrainState checkpoint: pull the params subtree straight
+            # from the npz (no optimizer reconstruction — the opt_state
+            # tree depends on the training config and is irrelevant here)
+            return ckpt.load_params_from_checkpoint(path, template)
         return ckpt.load_params_npz(path, template)
     if path.endswith((".pt", ".pth")):
         import torch
@@ -55,7 +52,8 @@ def load_params(path: str):
 
 
 def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
-                  drop_first_frame: bool = True, compat: bool = False):
+                  drop_first_frame: bool = True, compat: bool = False,
+                  dump_gr_paths=None):
     import jax
     import jax.numpy as jnp
     from percepnet_tpu import constants as C
@@ -72,8 +70,9 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
     n_frames = [len(s) // C.FRAME_SIZE for s in signals]
     bsz = len(signals)
 
-    step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
-                   donate_argnums=(2,))
+    dump_gr = dump_gr_paths is not None
+    step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(
+        p, s, st, return_gr=dump_gr, **kw), donate_argnums=(2,))
     state = pipeline.init_pipeline_state(bsz)
     chunk = batch_frames * C.FRAME_SIZE
     max_len = max(nf for nf in n_frames) * C.FRAME_SIZE
@@ -82,12 +81,20 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
     total = -(-total // chunk) * chunk
 
     outs = [[] for _ in signals]
+    grs = [[] for _ in signals]
     for start in range(0, total, chunk):
         block = np.zeros((bsz, chunk), np.float32)
         for i, s in enumerate(signals):
             seg = s[start : start + chunk]
             block[i, : len(seg)] = seg
-        pcm, state = step(params, jnp.asarray(block), state)
+        if dump_gr:
+            pcm, state, (g, r) = step(params, jnp.asarray(block), state)
+            gr = np.concatenate([np.asarray(jax.device_get(g)),
+                                 np.asarray(jax.device_get(r))], axis=-1)
+            for i in range(bsz):
+                grs[i].append(gr[i])
+        else:
+            pcm, state = step(params, jnp.asarray(block), state)
         pcm = np.asarray(jax.device_get(pcm))
         for i in range(bsz):
             outs[i].append(pcm[i])
@@ -97,6 +104,12 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
         skip = C.FRAME_SIZE if drop_first_frame else 0
         keep = nf * C.FRAME_SIZE - skip
         write_pcm16(path, y[skip : skip + keep], scale=32768.0)
+        if dump_gr:
+            # the reference's feature_test.raw: per processed frame, 34 g
+            # then 34 r float32 (denoise.cpp:533-534) — one record per
+            # INPUT frame (no drop), written per file
+            np.concatenate(grs[i])[:nf].astype("<f4").tofile(
+                dump_gr_paths[i])
 
 
 def enhance_streaming(params, in_path, out_path, *,
@@ -174,6 +187,12 @@ def main(argv=None):
                     help="disable the reference's dropped first frame")
     ap.add_argument("--compat", action="store_true",
                     help="use the C inference tansig/sigmoid tables")
+    ap.add_argument("--dump-gr", nargs="?", const="feature_test.raw",
+                    metavar="PATH",
+                    help="dump per-frame g,r (34+34 float32/frame) like the "
+                         "reference's feature_test.raw side channel "
+                         "(denoise.cpp:533-534); with --out-dir, one "
+                         "<name>.gr.raw per input")
     ap.add_argument("--streaming", action="store_true",
                     help="frame-by-frame real-time mode (one 10 ms frame "
                          "per step, carried state)")
@@ -189,6 +208,16 @@ def main(argv=None):
             ap.error("expected: noisy.pcm out.pcm (or use --out-dir)")
         ins, outs = [args.pcm[0]], [args.pcm[1]]
 
+    gr_paths = None
+    if args.dump_gr:
+        if args.streaming:
+            ap.error("--dump-gr is only supported in batch mode")
+        if args.out_dir:
+            gr_paths = [os.path.join(
+                args.out_dir, os.path.basename(p) + ".gr.raw") for p in ins]
+        else:
+            gr_paths = [args.dump_gr]
+
     params = load_params(args.weights)
     if args.streaming:
         for i, o in zip(ins, outs):
@@ -199,7 +228,7 @@ def main(argv=None):
     else:
         enhance_files(params, ins, outs, batch_frames=args.batch_frames,
                       drop_first_frame=not args.keep_first_frame,
-                      compat=args.compat)
+                      compat=args.compat, dump_gr_paths=gr_paths)
 
 
 if __name__ == "__main__":

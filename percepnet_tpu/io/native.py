@@ -53,6 +53,8 @@ def _load():
         ctypes.c_int]
     lib.pn_loader_num_chunks.restype = ctypes.c_int64
     lib.pn_loader_num_chunks.argtypes = [ctypes.c_void_p]
+    lib.pn_loader_failed_reads.restype = ctypes.c_int64
+    lib.pn_loader_failed_reads.argtypes = [ctypes.c_void_p]
     lib.pn_loader_next.restype = ctypes.c_int
     lib.pn_loader_next.argtypes = [ctypes.c_void_p,
                                    ctypes.POINTER(ctypes.c_float)]
@@ -99,9 +101,20 @@ class NativeBatchLoader:
             num_shards, seed, 2 * C.NB_BANDS if scale else 0,
             float(C.FEATURE_SCALE), n_threads, queue_cap)
         self._shape = (batch, seq_len, record_dim)
+        self._warned_failures = 0
+        if self.num_chunks() == 0:
+            self.close()
+            raise ValueError(
+                "no training chunks: every listed file is unreadable or "
+                f"shorter than seq_len={seq_len} records")
 
     def num_chunks(self) -> int:
         return int(self._lib.pn_loader_num_chunks(self._h))
+
+    def failed_reads(self) -> int:
+        """Chunk reads that failed mid-training (file deleted/truncated)
+        and were zero-filled; surfaced so corruption is never silent."""
+        return int(self._lib.pn_loader_failed_reads(self._h))
 
     def __iter__(self):
         return self
@@ -112,6 +125,13 @@ class NativeBatchLoader:
             self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
         if rc != 0:
             raise StopIteration
+        failed = self.failed_reads()
+        if failed > self._warned_failures:
+            import logging
+            logging.getLogger("percepnet_tpu.io").warning(
+                "native loader: %d chunk read(s) failed and were "
+                "zero-filled (deleted/truncated file?)", failed)
+            self._warned_failures = failed
         return out
 
     def close(self) -> None:

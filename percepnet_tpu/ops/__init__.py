@@ -14,4 +14,4 @@ from percepnet_tpu.ops.activations import (  # noqa: F401
 from percepnet_tpu.ops.postfilter import post_filter  # noqa: F401
 from percepnet_tpu.ops.comb import comb_filter_windows  # noqa: F401
 from percepnet_tpu.ops.pitch import (  # noqa: F401
-    pitch_downsample, pitch_search, remove_doubling)
+    pitch_downsample, pitch_search, pitch_track)

@@ -350,81 +350,6 @@ def _pitch_gain(xy, xx, yy):
     return xy / jnp.sqrt(1.0 + xx * yy)
 
 
-def remove_doubling(xc_all: jax.Array, yy_look: jax.Array, t0_in: jax.Array,
-                    prev_period: jax.Array, prev_gain: jax.Array):
-    """Octave-error correction; vectorized over the 14 subharmonic tests.
-
-    Args (single frame, but broadcasts over leading dims):
-      xc_all:  [385] full-lag correlations.
-      yy_look: [385] lagged energies.
-      t0_in:   int32 candidate period (full-rate units, from pitch_search).
-      prev_period, prev_gain: hysteresis state (full-rate period).
-    Returns:
-      (t0_out, gain): corrected full-rate period (int32) and pitch gain.
-    """
-    t0 = jnp.minimum(t0_in // 2, _MAX_PERIOD_H - 1)
-    prev = prev_period // 2
-
-    xx = xc_all[..., 0]
-    xy = jnp.take(xc_all, t0, axis=-1)
-    yy = jnp.take(yy_look, t0, axis=-1)
-    g0 = _pitch_gain(xy, xx, yy)
-
-    ks = jnp.arange(2, 16, dtype=jnp.int32)
-    t1 = (2 * t0[..., None] + ks) // (2 * ks)
-    # stop at the first k with T1 < minperiod (the C loop breaks)
-    valid = jnp.cumsum((t1 < _MIN_PERIOD_H).astype(jnp.int32), axis=-1) == 0
-    sc = _SECOND_CHECK[ks]
-    t1b_k2 = jnp.where(t1 + t0[..., None] > _MAX_PERIOD_H, t0[..., None],
-                       t0[..., None] + t1)
-    t1b = jnp.where(ks == 2, t1b_k2, (2 * sc * t0[..., None] + ks) // (2 * ks))
-
-    xy_k = 0.5 * (jnp.take(xc_all, t1, axis=-1)
-                  + jnp.take(xc_all, t1b, axis=-1))
-    yy_k = 0.5 * (jnp.take(yy_look, t1, axis=-1)
-                  + jnp.take(yy_look, t1b, axis=-1))
-    g1 = _pitch_gain(xy_k, xx[..., None], yy_k)
-
-    dt = jnp.abs(t1 - prev[..., None])
-    cont = jnp.where(
-        dt <= 1, prev_gain[..., None],
-        jnp.where((dt <= 2) & (5 * ks * ks < t0[..., None]),
-                  0.5 * prev_gain[..., None], 0.0))
-    # NB: the T1 < 2*minperiod branch in pitch.cpp:497 is unreachable
-    # (shadowed by T1 < 3*minperiod) — reproduced faithfully by omission.
-    thresh = jnp.where(
-        t1 < 3 * _MIN_PERIOD_H,
-        jnp.maximum(0.4, 0.85 * g0[..., None] - cont),
-        jnp.maximum(0.3, 0.7 * g0[..., None] - cont))
-    acc = valid & (g1 > thresh)
-
-    any_acc = jnp.any(acc, axis=-1)
-    # last accepted k wins (the C loop keeps overwriting T)
-    rev_idx = acc.shape[-1] - 1 - jnp.argmax(acc[..., ::-1], axis=-1)
-    idx = jnp.where(any_acc, rev_idx, 0).astype(jnp.int32)
-
-    def pick(v, default):
-        chosen = jnp.take_along_axis(v, idx[..., None], -1)[..., 0]
-        return jnp.where(any_acc, chosen, default)
-
-    t = pick(t1, t0)
-    g = pick(g1, g0)
-    best_xy = jnp.maximum(0.0, pick(xy_k, xy))
-    best_yy = pick(yy_k, yy)
-
-    pg = jnp.where(best_yy <= best_xy, 1.0, best_xy / (best_yy + 1.0))
-
-    lag3 = t[..., None] + jnp.arange(-1, 2)
-    xc3 = jnp.take(xc_all, lag3, axis=-1)
-    c0, c1v, c2 = xc3[..., 0], xc3[..., 1], xc3[..., 2]
-    offset = jnp.where((c2 - c0) > 0.7 * (c1v - c0), 1,
-                       jnp.where((c0 - c2) > 0.7 * (c1v - c2), -1, 0))
-    pg = jnp.minimum(pg, g)
-    t0_out = 2 * t + offset
-    t0_out = jnp.maximum(t0_out, C.PITCH_MIN_PERIOD).astype(jnp.int32)
-    return t0_out, pg
-
-
 def _onehot_take(values: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather along the last axis via one-hot compare-reduce.
 

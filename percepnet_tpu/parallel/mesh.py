@@ -36,8 +36,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the leading axis sharded."""
+    """Put a host batch pytree on the mesh with the leading axis sharded.
+
+    Single-process: a plain device_put against the NamedSharding.
+    Multi-process (jax.distributed): each process passes its OWN local
+    batch and the global array is assembled from the per-process shards
+    (global batch = local batch x process_count).  device_put would be
+    wrong there — it assumes every process holds the same global array,
+    silently mixing/dropping most of each host's data.
+    """
     s = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                s, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 

@@ -48,7 +48,8 @@ def init_pipeline_state(batch: int = 1) -> PipelineState:
 
 def enhance_chunk(params: percepnet.PercepNetParams,
                   signal: jax.Array,
-                  state: PipelineState, **model_kw):
+                  state: PipelineState, return_gr: bool = False,
+                  **model_kw):
     """Enhance a batch of equal-length PCM chunks with carried state.
 
     Args:
@@ -56,13 +57,16 @@ def enhance_chunk(params: percepnet.PercepNetParams,
       signal: [B, n_samples] float32 PCM at inference scale (/32768),
         n_samples divisible by FRAME_SIZE.
       state: carried PipelineState for the B streams.
+      return_gr: also return the per-frame (g, r) predictions — the
+        reference's `feature_test.raw` side channel (denoise.cpp:533-534).
       model_kw: forwarded to percepnet.forward (e.g. compat activations).
 
     Returns:
-      (pcm [B, n_samples], new_state).  As in the reference, output frame t
-      is the enhanced version of input frame t - (FRAME_LOOKAHEAD+1); the
-      first frames of a fresh stream are therefore silence-of-zeros, and the
-      caller must keep feeding (or flush) to drain the lookahead.
+      (pcm [B, n_samples], new_state) — plus (g, r) [B, T, 34] each when
+      return_gr.  As in the reference, output frame t is the enhanced
+      version of input frame t - (FRAME_LOOKAHEAD+1); the first frames of
+      a fresh stream are therefore silence-of-zeros, and the caller must
+      keep feeding (or flush) to drain the lookahead.
     """
     front, fstate = frontend.analyze_batch(signal, state.front)
     g, r, mstate = percepnet.forward(
@@ -71,7 +75,10 @@ def enhance_chunk(params: percepnet.PercepNetParams,
     def one(front_b, g_b, r_b, mem_b):
         return enhance.enhance_spectra(front_b, g_b, r_b, mem_b)
     pcm, mem = jax.vmap(one)(front, g, r, state.synthesis_mem)
-    return pcm, PipelineState(fstate, mstate, mem)
+    new_state = PipelineState(fstate, mstate, mem)
+    if return_gr:
+        return pcm, new_state, (g, r)
+    return pcm, new_state
 
 
 def enhance_utterance(params: percepnet.PercepNetParams,

@@ -22,15 +22,18 @@ import numpy as np
 from percepnet_tpu.io import flat_npz
 
 
+def _path_key(path) -> str:
+    return "/".join(
+        str(getattr(q, "name", getattr(q, "key", getattr(q, "idx", q))))
+        for q in path)
+
+
 def save_checkpoint(path: str, state) -> None:
     """Atomic write of a TrainState (or any pytree) to .npz."""
     flat, _ = jax.tree.flatten_with_path(state)
     out = {}
     for p, leaf in flat:
-        key = "/".join(
-            str(getattr(q, "name", getattr(q, "key", getattr(q, "idx", q))))
-            for q in p)
-        out[key] = np.asarray(leaf)
+        out[_path_key(p)] = np.asarray(leaf)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
                                suffix=".tmp")
@@ -39,20 +42,31 @@ def save_checkpoint(path: str, state) -> None:
     os.replace(tmp, path)
 
 
+def _restore_tree(template, mapping, prefix: str = ""):
+    flat, treedef = jax.tree.flatten_with_path(template)
+    leaves = []
+    for p, leaf in flat:
+        arr = mapping[prefix + _path_key(p)]
+        leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(
+            np.asarray(leaf).shape))
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def load_checkpoint(path: str, template):
     """Restore a pytree shaped like `template` from .npz."""
     with np.load(path) as z:
         mapping = {k: z[k] for k in z.files}
-    flat, treedef = jax.tree.flatten_with_path(template)
-    leaves = []
-    for p, leaf in flat:
-        key = "/".join(
-            str(getattr(q, "name", getattr(q, "key", getattr(q, "idx", q))))
-            for q in p)
-        arr = mapping[key]
-        leaves.append(arr.astype(np.asarray(leaf).dtype).reshape(
-            np.asarray(leaf).shape))
-    return jax.tree.unflatten(treedef, leaves)
+    return _restore_tree(template, mapping)
+
+
+def load_params_from_checkpoint(path: str, params_template):
+    """Pull just the params subtree out of a full TrainState checkpoint
+    (keys 'params/...'), without reconstructing the optimizer state — so
+    a checkpoint trained with any optimizer config (e.g. grad clipping,
+    whose opt_state tree differs) loads for inference."""
+    with np.load(path) as z:
+        mapping = {k: z[k] for k in z.files if k.startswith("params/")}
+    return _restore_tree(params_template, mapping, prefix="params/")
 
 
 def save_params_npz(path: str, params) -> None:

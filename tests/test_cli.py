@@ -62,3 +62,42 @@ def test_enhance_load_params_roundtrip(tmp_path):
     loaded = load_params(p)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_enhance_load_params_from_trainstate_with_clipping(tmp_path):
+    """A checkpoint trained with grad clipping has a different opt_state
+    tree; loading for inference must not depend on reconstructing it."""
+    import jax
+    from percepnet_tpu.cli.enhance import load_params
+    from percepnet_tpu.train import checkpoint as ckpt
+    from percepnet_tpu.train.state import init_train_state, make_optimizer
+    tx = make_optimizer(1e-4, clip_norm=5.0)  # non-default opt_state tree
+    st = init_train_state(jax.random.PRNGKey(1), tx)
+    p = str(tmp_path / "checkpoint-0.npz")
+    ckpt.save_checkpoint(p, jax.device_get(st))
+    loaded = load_params(p)
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_enhance_cli_dump_gr_matches_reference(tmp_path, featgen_goldens):
+    """--dump-gr reproduces percepNet_run's feature_test.raw side channel
+    (denoise.cpp:533-534): 34 g + 34 r float32 per input frame."""
+    import os
+    import numpy as np
+    from percepnet_tpu.cli import enhance as cli
+
+    nn = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                              "nn.npz"))
+    w = str(tmp_path / "w.npz")
+    np.savez(w, **{k: nn[k] for k in nn.files if k.startswith("params/")})
+    noisy = str(tmp_path / "noisy.pcm")
+    featgen_goldens["noisy16"].astype("<i2").tofile(noisy)
+    out = str(tmp_path / "out.pcm")
+    gr_path = str(tmp_path / "feature_test.raw")
+    cli.main([noisy, out, "--weights", w, "--compat",
+              "--batch-frames", "200", "--dump-gr", gr_path])
+    gr = np.fromfile(gr_path, "<f4").reshape(-1, 68)
+    ref = nn["gr"]
+    assert gr.shape == ref.shape
+    np.testing.assert_allclose(gr, ref, atol=1e-5)

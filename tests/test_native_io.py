@@ -61,6 +61,62 @@ def test_loader_yields_scaled_chunks(tmp_path):
             assert any(np.allclose(row, o, rtol=1e-6) for o in originals)
 
 
+def test_loader_order_deterministic_across_thread_counts(tmp_path):
+    """Batch delivery order must be a pure function of the seed — the
+    reorder buffer sequences worker output by stream position, so resume
+    reproducibility holds for any n_threads."""
+    rng = np.random.default_rng(3)
+    files = []
+    for i in range(4):
+        rec = rng.uniform(0, 1, (40, C.RECORD_DIM)).astype(np.float32)
+        p = tmp_path / f"d{i}.f32"
+        rec.tofile(p)
+        files.append(str(p))
+
+    def stream(n_threads, n_batches=10):
+        ld = native.NativeBatchLoader(files, seq_len=10, batch=3, seed=7,
+                                      n_threads=n_threads, queue_cap=2)
+        out = [next(ld).copy() for _ in range(n_batches)]
+        ld.close()
+        return out
+
+    a, b, c = stream(1), stream(2), stream(4)
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x, y)
+        np.testing.assert_array_equal(x, z)
+
+
+def test_loader_empty_index_raises(tmp_path):
+    """All files shorter than seq_len -> construction fails loudly
+    instead of Next() blocking forever."""
+    p = tmp_path / "short.f32"
+    np.zeros((3, C.RECORD_DIM), np.float32).tofile(p)
+    with pytest.raises(ValueError, match="no training chunks"):
+        native.NativeBatchLoader([str(p)], seq_len=10, batch=1)
+
+
+def test_loader_counts_failed_reads(tmp_path):
+    """A file deleted mid-training is zero-filled AND counted."""
+    keep = tmp_path / "keep.f32"
+    gone = tmp_path / "gone.f32"
+    np.ones((10, C.RECORD_DIM), np.float32).tofile(keep)
+    np.ones((10, C.RECORD_DIM), np.float32).tofile(gone)
+    import os
+    ld = native.NativeBatchLoader([str(keep), str(gone)], seq_len=10,
+                                  batch=2, scale=False, n_threads=1,
+                                  queue_cap=1)
+    os.unlink(gone)
+    # drain a few batches; eventually a read of `gone` fails
+    failed = 0
+    for _ in range(6):
+        next(ld)
+        failed = ld.failed_reads()
+        if failed:
+            break
+    ld.close()
+    assert failed > 0
+
+
 def test_loader_sharding_partitions_files(tmp_path):
     rng = np.random.default_rng(2)
     files = []
