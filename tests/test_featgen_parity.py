@@ -43,9 +43,24 @@ def test_records_parity(pipeline):
     assert relerr(rec[:, 69], ref[:, 69]).max() < 1e-3
     # gains (post-filtered, as the reference dumps them)
     assert np.abs(rec[:, 70:104] - ref[:, 70:104]).max() < 1e-4
-    # strengths: allow a tiny budget of discrete boundary flips
+    # strengths: continuous values match to f32; the only allowed
+    # discrepancy is the discrete r=0.99 override (denoise.cpp:581,
+    # `Ephatp < Exp`) flipping at entries where the two sides are within
+    # the coherence chain's cross-implementation f32 tolerance (~2e-4 —
+    # DFT matmul vs KISS FFT, amplified through the band-corr division).
+    # Root-caused on this golden set: exactly one flip, frame 123 band 22,
+    # margin Ephatp-Exp = +1.6e-4 (we skip the override, the C binary
+    # takes it).  Any flip at a NON-borderline entry is a real bug.
+    from percepnet_tpu.features.labels import estimate_phat_corr
+    margin = np.asarray(estimate_phat_corr(noisy_out["exp"])) - np.asarray(
+        clean_out["exp"])
     r_diff = np.abs(rec[:, 104:138] - ref[:, 104:138])
-    assert np.sum(r_diff > 0.02) <= 3
+    flips = np.argwhere(r_diff > 0.02)
+    assert len(flips) <= 3
+    for t, b in flips:
+        assert abs(margin[t, b]) < 5e-4, (
+            f"r flip at frame {t} band {b} with non-borderline "
+            f"override margin {margin[t, b]:+.2e}")
     assert np.median(r_diff) < 1e-5
 
 
