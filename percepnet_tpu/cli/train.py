@@ -7,9 +7,17 @@ Usage:
 
 Filelists point at raw 138-float record files (featgen output).  Resumes
 automatically from the newest checkpoint in --out-dir; --pretrain
-warm-starts params only (rnn_train.py:520-526).  For multi-host, start one
-process per host with --distributed (jax.distributed.initialize reads the
-TPU env) — data is host-sharded by process index.
+warm-starts params only (rnn_train.py:520-526).
+
+Multi-host: start one process per host with --distributed.  On TPU pods,
+jax.distributed.initialize auto-detects the coordinator from the TPU env;
+elsewhere (CPU/GPU clusters, and the 2-process CPU test in
+tests/test_distributed.py) pass --coordinator host:port --num-processes N
+--process-id I explicitly.  Data is host-sharded by process index:
+--batch-size is the PER-PROCESS batch, and the global batch assembled on
+the mesh is batch_size * num_processes.  Every process must take the same
+number of steps/eval batches (give each the same-cardinality file shard),
+or the collectives deadlock.
 """
 
 from __future__ import annotations
@@ -28,9 +36,16 @@ def main(argv=None):
     ap.add_argument("--pretrain", help="params .npz to warm-start from")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument("--distributed", action="store_true")
+    ap.add_argument("--coordinator",
+                    help="coordinator host:port (omit on TPU pods — "
+                         "auto-detected from the TPU env)")
+    ap.add_argument("--num-processes", type=int)
+    ap.add_argument("--process-id", type=int)
     ap.add_argument("--batch-size", type=int)
     ap.add_argument("--seq-len", type=int)
     ap.add_argument("--max-steps", type=int)
+    ap.add_argument("--log-interval", type=int)
+    ap.add_argument("--no-tensorboard", action="store_true")
     args = ap.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -38,7 +53,13 @@ def main(argv=None):
 
     import jax
     if args.distributed:
-        jax.distributed.initialize()
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id)
+        else:
+            jax.distributed.initialize()
 
     from percepnet_tpu.train import Trainer, TrainConfig
     from percepnet_tpu.train import datasets
@@ -50,6 +71,8 @@ def main(argv=None):
         overrides["seq_len"] = args.seq_len
     if args.max_steps:
         overrides["train_max_steps"] = args.max_steps
+    if args.log_interval:
+        overrides["log_interval_steps"] = args.log_interval
     cfg = (TrainConfig.from_yaml(args.config, **overrides)
            if args.config else TrainConfig(**overrides))
 
@@ -77,7 +100,8 @@ def main(argv=None):
         dev_batches = list(datasets.batch_iterator(
             dev_set, cfg.batch_size, shuffle=False, epochs=1))
 
-    trainer = Trainer(cfg, train_iter, dev_batches)
+    trainer = Trainer(cfg, train_iter, dev_batches,
+                      tensorboard=not args.no_tensorboard)
     if not args.no_resume:
         trainer.restore()
     if args.pretrain and int(jax.device_get(trainer.state.step)) == 0:

@@ -69,13 +69,20 @@ class Trainer:
         self.train_iter = train_iter
         self.dev_batches = dev_batches or []
         if mesh is None:
-            # batch is sharded over the mesh, so its size must divide the
-            # batch; use the largest prefix of devices that does
+            # the GLOBAL batch (per-process batch x process count) is
+            # sharded over the mesh, so the device count must divide it;
+            # use the largest prefix of devices that does
             devs = jax.devices()
+            global_batch = config.batch_size * jax.process_count()
             n = len(devs)
-            while config.batch_size % n:
+            while global_batch % n:
                 n -= 1
             if n < len(devs):
+                if jax.process_count() > 1:
+                    raise ValueError(
+                        f"global batch {global_batch} not divisible by "
+                        f"{len(devs)} devices; a partial mesh cannot span "
+                        "processes — adjust batch_size")
                 log.warning("batch_size %d not divisible by %d devices; "
                             "using %d", config.batch_size, len(devs), n)
             mesh = pm.make_mesh(devs[:n])
@@ -91,7 +98,7 @@ class Trainer:
         # TensorBoard scalars + intermediate-result heatmaps, like the
         # reference (rnn_train.py:431-462); optional dependency.
         self._tb = None
-        if tensorboard:
+        if tensorboard and jax.process_index() == 0:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(
@@ -101,6 +108,8 @@ class Trainer:
 
     def _record(self, rec: dict[str, Any]) -> None:
         self.history.append(rec)
+        if jax.process_index() != 0:
+            return
         path = os.path.join(self.config.out_dir, "history.jsonl")
         os.makedirs(self.config.out_dir, exist_ok=True)
         with open(path, "a") as f:
@@ -133,8 +142,11 @@ class Trainer:
     def save(self) -> str:
         step = int(jax.device_get(self.state.step))
         path = os.path.join(self.config.out_dir, f"checkpoint-{step}.npz")
-        ckpt.save_checkpoint(path, jax.device_get(self.state))
-        log.info("saved %s", path)
+        # state is replicated, so only process 0 writes (multi-host runs
+        # share out_dir on a common filesystem)
+        if jax.process_index() == 0:
+            ckpt.save_checkpoint(path, jax.device_get(self.state))
+            log.info("saved %s", path)
         return path
 
     def restore(self, path: str | None = None) -> bool:
@@ -170,7 +182,8 @@ class Trainer:
 
     def run(self) -> None:
         cfg = self.config
-        cfg.dump(os.path.join(cfg.out_dir, "config.yml"))
+        if jax.process_index() == 0:
+            cfg.dump(os.path.join(cfg.out_dir, "config.yml"))
         step = int(jax.device_get(self.state.step))
         t0, steps0 = time.time(), step
 
@@ -200,8 +213,9 @@ class Trainer:
                 if step % cfg.log_interval_steps == 0:
                     dt = time.time() - t0
                     sps = (step - steps0) / max(dt, 1e-9)
-                    audio_s = (sps * cfg.batch_size * cfg.seq_len
-                               * 480 / 48_000)
+                    # global batch: cfg.batch_size is per-process
+                    audio_s = (sps * cfg.batch_size * jax.process_count()
+                               * cfg.seq_len * 480 / 48_000)
                     rec = {"step": step, "loss": float(loss),
                            "steps_per_s": round(sps, 3),
                            "train_audio_s_per_s": round(audio_s, 1)}
