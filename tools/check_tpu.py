@@ -10,6 +10,10 @@ drives those against their reference formulations on the device:
   3. pipeline streaming == one-shot on TPU
   4. training step runs + loss finite on TPU
   5. training throughput report (recipe shape)
+  6. pitch-DECISION parity on-chip: the 200-frame golden set's discrete
+     pitch periods vs the C binary (the TPU banded-matmul window energies
+     have different tie-breaks than the CPU cumsum; this measures how many
+     period decisions actually flip, and their downstream feature effect)
 """
 import os
 import sys
@@ -89,6 +93,33 @@ def main():
     print(f"4. train step OK, loss {float(loss):.4f}")
     print(f"5. training throughput: {audio/dt:.0f} audio-s/s/chip "
           f"({dt*1e3:.0f} ms/step at batch 64 x 20 s)")
+
+    # 6. on-chip pitch-decision parity vs the C binary's golden records
+    from percepnet_tpu.features import analyze_utterance
+    gold = np.load(os.path.join(os.path.dirname(__file__), os.pardir,
+                                "tests", "goldens", "featgen.npz"))
+    noisy = jnp.asarray(gold["noisy16"].astype(np.float32))
+    out, _ = analyze_utterance(noisy)
+    periods = np.round(np.asarray(out["features"][:, 68]) * 588)
+    ref_periods = np.round(gold["records"][:, 68] * 588)
+    flips = int(np.sum(periods != ref_periods))
+    n_frames = len(ref_periods)
+    # downstream effect: full 70-d feature drift vs the C records (the
+    # net-input features carry x30 on cols 0:68 — denoise.cpp:491-493 —
+    # while the record dump is unscaled)
+    feat = np.asarray(out["features"])
+    ref_feat = gold["records"][:, :70].copy()
+    ref_feat[:, :68] *= 30.0
+    drift = np.abs(feat - ref_feat) / np.maximum(np.abs(ref_feat), 1e-3)
+    match_pct = 100.0 * (n_frames - flips) / n_frames
+    print(f"6. on-chip pitch periods: {n_frames - flips}/{n_frames} match "
+          f"the C binary ({match_pct:.1f}%); max feature rel-drift "
+          f"{drift.max():.2g}")
+    # TPU tie-breaks may flip borderline frames; the golden set must stay
+    # overwhelmingly decision-identical or the banded-matmul path is wrong
+    assert flips <= max(2, n_frames // 50), (
+        f"{flips} pitch-period flips on TPU — beyond borderline levels")
+    assert drift.max() < 0.05, float(drift.max())
     print("TPU CHECKS OK")
 
 
