@@ -51,22 +51,32 @@ _STOI_N = 30             # analysis length: 30 frames (384 ms)
 _STOI_BETA = -15.0       # clipping, dB
 
 
-def _resample_linear(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
+def _resample(x: np.ndarray, fs_in: int, fs_out: int) -> np.ndarray:
+    """Polyphase resampling (the measure specifies proper band-limited
+    resampling to 10 kHz; linear interp would alias 5-24 kHz content
+    into the third-octave bands)."""
     if fs_in == fs_out:
         return x
-    n_out = int(round(len(x) * fs_out / fs_in))
-    t_out = np.arange(n_out) * (fs_in / fs_out)
-    return np.interp(t_out, np.arange(len(x)), x)
+    from math import gcd
+    from scipy.signal import resample_poly
+    g = gcd(fs_in, fs_out)
+    return resample_poly(x, fs_out // g, fs_in // g)
 
 
 def _third_octave_matrix():
-    freqs = np.fft.rfftfreq(_STOI_NFFT, 1.0 / _STOI_FS)
+    """Band matrix with the standard's bin assignment (Taal et al. 2011
+    MATLAB `thirdoct`, as in pystoi): each band covers FFT bins from the
+    bin NEAREST its lower edge up to (exclusive) the bin nearest its
+    upper edge — not a simple >=lo/<hi mask, which differs at edges."""
+    freqs = np.linspace(0, _STOI_FS / 2, _STOI_NFFT // 2 + 1)
     cf = _STOI_MINFREQ * 2.0 ** (np.arange(_STOI_NBANDS) / 3.0)
     lo = cf * 2.0 ** (-1.0 / 6.0)
     hi = cf * 2.0 ** (1.0 / 6.0)
     mat = np.zeros((_STOI_NBANDS, len(freqs)))
     for b in range(_STOI_NBANDS):
-        mat[b, (freqs >= lo[b]) & (freqs < hi[b])] = 1.0
+        b1 = int(np.argmin(np.abs(freqs - lo[b])))
+        b2 = int(np.argmin(np.abs(freqs - hi[b])))
+        mat[b, b1:b2] = 1.0
     return mat
 
 
@@ -110,8 +120,8 @@ def stoi(clean: np.ndarray, enhanced: np.ndarray, fs: int = 48_000) -> float:
     Classic (non-extended) STOI: third-octave band envelopes over 384 ms
     segments, normalized + clipped, correlated per band/segment.
     """
-    x = _resample_linear(np.asarray(clean, np.float64), fs, _STOI_FS)
-    y = _resample_linear(np.asarray(enhanced, np.float64), fs, _STOI_FS)
+    x = _resample(np.asarray(clean, np.float64), fs, _STOI_FS)
+    y = _resample(np.asarray(enhanced, np.float64), fs, _STOI_FS)
     n = min(len(x), len(y))
     x, y = x[:n], y[:n]
     x, y = _remove_silent_frames(x, y)

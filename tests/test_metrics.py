@@ -35,3 +35,67 @@ def test_stoi_orders_degradations():
     assert clean_score > 0.95
     assert clean_score >= light > heavy
     assert heavy < 0.6
+
+
+def test_stoi_identity_is_one():
+    x = _speechlike(3 * 48_000, seed=3)
+    assert abs(metrics.stoi(x, x) - 1.0) < 1e-9
+
+
+def test_stoi_ignores_ultrasonic_noise():
+    """STOI is defined on 150 Hz-4.3 kHz third-octave bands at 10 kHz; a
+    proper band-limited resampler must reject noise above 5 kHz entirely
+    (a linear-interp resampler aliases it into the bands and fails this)."""
+    fs = 48_000
+    x = _speechlike(2 * fs, seed=4)
+    rng = np.random.default_rng(5)
+    noise = rng.normal(size=len(x))
+    # keep only 6-20 kHz content
+    spec = np.fft.rfft(noise)
+    f = np.fft.rfftfreq(len(x), 1 / fs)
+    spec[(f < 6000) | (f > 20000)] = 0
+    hf_noise = np.fft.irfft(spec, len(x))
+    hf_noise *= np.sqrt(np.mean(x**2) / np.mean(hf_noise**2))  # 0 dB SNR
+    assert metrics.stoi(x, x + hf_noise) > 0.97
+
+
+def test_stoi_silence_removal():
+    """Appending shared silence must not move the score (silent-frame
+    removal, Taal et al. 2011 sec. II-A)."""
+    fs = 48_000
+    x = _speechlike(2 * fs, seed=6)
+    rng = np.random.default_rng(7)
+    y = x + 0.2 * rng.normal(size=len(x))
+    pad = np.zeros(fs)
+    a = metrics.stoi(x, y)
+    b = metrics.stoi(np.concatenate([x, pad]), np.concatenate([y, pad]))
+    assert abs(a - b) < 0.02
+
+
+def test_stoi_anchor_ranges():
+    """Coarse calibration anchors: white noise at moderate/severe SNR on
+    BROADBAND modulated speech-like signals should land in the ranges the
+    STOI paper's speech-in-noise curves show (Taal et al. 2011, fig. 5).
+    The signal must cover all 15 third-octave bands (150 Hz-4.3 kHz) like
+    real speech, or noise-only bands drag the mean down."""
+    fs = 48_000
+    n = 3 * fs
+    t = np.arange(n) / fs
+    f0 = 120 + 30 * np.sin(2 * np.pi * 1.7 * t)
+    phase = np.cumsum(f0) / fs
+    x = np.zeros(n)
+    for h in range(1, 40):                      # harmonics up to ~4.8 kHz
+        x += np.sin(2 * np.pi * h * phase) / np.sqrt(h)
+    x *= 0.4 + 0.6 * np.sin(2 * np.pi * 3.0 * t) ** 2
+    rng = np.random.default_rng(9)
+    noise = rng.normal(size=len(x))
+
+    def at_snr(db):
+        n = noise * np.sqrt(np.mean(x**2) / np.mean(noise**2)
+                            * 10 ** (-db / 10))
+        return metrics.stoi(x, x + n)
+
+    assert at_snr(20) > 0.9
+    assert 0.55 < at_snr(0) < 0.95
+    assert at_snr(-10) < at_snr(0)
+    assert at_snr(-10) < 0.75
