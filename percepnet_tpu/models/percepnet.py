@@ -119,8 +119,8 @@ def param_count(params: PercepNetParams) -> int:
     return sum(int(x.size) for x in jax.tree.leaves(params))
 
 
-def init_model_state(batch: int) -> ModelState:
-    z = jnp.zeros
+def init_model_state(batch: int, dtype=jnp.float32) -> ModelState:
+    z = lambda s: jnp.zeros(s, dtype)
     return ModelState(
         conv1_mem=z((batch, C.CONV1_KERNEL - 1, C.FC_DIM)),
         conv2_mem=z((batch, C.CONV2_KERNEL - 1, C.CONV_DIM)),
@@ -171,18 +171,29 @@ def _project(p: Params, x: jax.Array) -> jax.Array:
 def forward(params: PercepNetParams, features: jax.Array,
             state: ModelState | None = None, *,
             act_tanh: Callable = jnp.tanh,
-            act_sigmoid: Callable = jax.nn.sigmoid):
+            act_sigmoid: Callable = jax.nn.sigmoid,
+            compute_dtype=None):
     """Whole-sequence forward pass.
 
     Args:
       features: [B, T, 70] model input (already x30-scaled).
       state: optional streaming ModelState (None = zeros).
+      compute_dtype: optional serving dtype (jnp.bfloat16): params,
+        activations, and the GRU recurrence run in that dtype (one native
+        MXU pass per matmul instead of the f32 bf16x3 decomposition,
+        f32 accumulation as always on TPU); g/r are returned in f32.  The
+        carried ModelState must be created with the same dtype.  Quality
+        gate: tools/quality_gate.py measures the end-to-end ΔSTOI/ΔSI-SDR
+        of bf16 vs f32 serving on enhanced speech.
     Returns:
       (g [B, T, 34], r [B, T, 34], new_state)
     """
     b, t, _ = features.shape
     if state is None:
-        state = init_model_state(b)
+        state = init_model_state(b, compute_dtype or jnp.float32)
+    if compute_dtype is not None:
+        params = jax.tree.map(lambda x: x.astype(compute_dtype), params)
+        features = features.astype(compute_dtype)
 
     x = jax.nn.relu(jnp.matmul(features, params.fc["w"], precision=_P)
                     + params.fc["b"])
@@ -227,10 +238,10 @@ def forward(params: PercepNetParams, features: jax.Array,
                  + jnp.matmul(h3s, w_gb[3 * d : 4 * d], precision=_P)
                  + jnp.matmul(hgbs, w_gb[4 * d :], precision=_P)
                  + params.fc_gb["b"])
-    gains = act_sigmoid(jnp.moveaxis(gb_logits, 0, 1))
+    gains = act_sigmoid(jnp.moveaxis(gb_logits, 0, 1).astype(jnp.float32))
     strengths = act_sigmoid(jnp.moveaxis(
         jnp.matmul(hrbs, params.fc_rb["w"], precision=_P)
-        + params.fc_rb["b"], 0, 1))
+        + params.fc_rb["b"], 0, 1).astype(jnp.float32))
 
     new_state = ModelState(c1_mem, c2_mem, *carry)
     return gains, strengths, new_state

@@ -35,14 +35,18 @@ class PipelineState(NamedTuple):
     synthesis_mem: jax.Array      # [480] OLA carry
 
 
-def init_pipeline_state(batch: int = 1) -> PipelineState:
-    """Fresh zero state for `batch` independent streams."""
+def init_pipeline_state(batch: int = 1,
+                        model_dtype=jnp.float32) -> PipelineState:
+    """Fresh zero state for `batch` independent streams.
+
+    model_dtype: dtype of the carried NN state — pass jnp.bfloat16 when
+    serving with enhance_chunk(model_dtype=bfloat16)."""
     front = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
         frontend.init_state())
     return PipelineState(
         front=front,
-        model=percepnet.init_model_state(batch),
+        model=percepnet.init_model_state(batch, model_dtype),
         synthesis_mem=jnp.zeros((batch, C.FRAME_SIZE), jnp.float32))
 
 
@@ -59,7 +63,9 @@ def enhance_chunk(params: percepnet.PercepNetParams,
       state: carried PipelineState for the B streams.
       return_gr: also return the per-frame (g, r) predictions — the
         reference's `feature_test.raw` side channel (denoise.cpp:533-534).
-      model_kw: forwarded to percepnet.forward (e.g. compat activations).
+      model_kw: forwarded to percepnet.forward (e.g. compat activations,
+        or compute_dtype=jnp.bfloat16 for the bf16 serving mode — pair it
+        with init_pipeline_state(batch, model_dtype=jnp.bfloat16)).
 
     Returns:
       (pcm [B, n_samples], new_state) — plus (g, r) [B, T, 34] each when

@@ -153,3 +153,26 @@ def test_loss_gradient_finite_at_zero():
     tgt = jnp.zeros((1, 2, 68))
     grads = jax.grad(lambda o: percepnet_loss(o, tgt))(out)
     assert bool(jnp.all(jnp.isfinite(grads)))
+
+
+def test_bf16_serving_close_to_f32():
+    """bf16 compute_dtype: runs, outputs finite/in-range, and g/r stay
+    near the f32 path (bf16 recurrence drift is bounded over short
+    sequences; the end-to-end quality gate lives in tools/quality_gate.py)."""
+    import jax.numpy as jnp
+    from percepnet_tpu.models import percepnet as M
+    params = M.init_params(jax.random.PRNGKey(3))
+    feats = jax.random.uniform(jax.random.PRNGKey(4), (2, 50, 70)) * 2.0
+    g32, r32, _ = M.forward(params, feats)
+    g16, r16, st16 = M.forward(params, feats,
+                               compute_dtype=jnp.bfloat16)
+    assert g16.dtype == jnp.float32 and r16.dtype == jnp.float32
+    assert st16.h1.dtype == jnp.bfloat16
+    assert np.all(np.isfinite(np.asarray(g16)))
+    assert float(np.mean(np.abs(np.asarray(g16) - np.asarray(g32)))) < 0.03
+    assert float(np.mean(np.abs(np.asarray(r16) - np.asarray(r32)))) < 0.03
+
+    # streaming continuation with a bf16 state pytree
+    g2, r2, st2 = M.forward(params, feats[:, :1], st16,
+                            compute_dtype=jnp.bfloat16)
+    assert st2.h1.dtype == jnp.bfloat16
