@@ -81,3 +81,34 @@ def make_jitted_steps(tx: optax.GradientTransformation, mesh=None):
     ev = jax.jit(eval_step, in_shardings=(rep_s, data_s, data_s),
                  out_shardings=rep_s)
     return step, ev
+
+
+def make_jitted_index_steps(tx: optax.GradientTransformation, mesh=None):
+    """(train_step, eval_step) over a DEVICE-RESIDENT dataset: steps take
+    (state, x_all, y_all, idx) and gather the batch on-device, so only the
+    int32 indices cross the host link (see datasets.load_all_chunks)."""
+    if mesh is None:
+        step = jax.jit(
+            lambda s, xa, ya, i: train_step(s, xa[i], ya[i], tx),
+            donate_argnums=(0,))
+        ev = jax.jit(lambda s, xa, ya, i: eval_step(s, xa[i], ya[i]))
+        return step, ev
+
+    from percepnet_tpu.parallel import mesh as pm
+    data_s = pm.batch_sharding(mesh)
+    rep_s = pm.replicated_sharding(mesh)
+
+    def gather(xa, i):
+        return jax.lax.with_sharding_constraint(
+            jnp.take(xa, i, axis=0), data_s)
+
+    step = jax.jit(
+        lambda s, xa, ya, i: train_step(s, gather(xa, i), gather(ya, i), tx),
+        in_shardings=(rep_s, rep_s, rep_s, rep_s),
+        out_shardings=(rep_s, rep_s),
+        donate_argnums=(0,))
+    ev = jax.jit(
+        lambda s, xa, ya, i: eval_step(s, gather(xa, i), gather(ya, i)),
+        in_shardings=(rep_s, rep_s, rep_s, rep_s),
+        out_shardings=rep_s)
+    return step, ev

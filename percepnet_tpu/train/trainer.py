@@ -64,10 +64,21 @@ class Trainer:
     def __init__(self, config: TrainConfig,
                  train_iter: Iterator[np.ndarray],
                  dev_batches: list[np.ndarray] | None = None,
-                 mesh=None, tensorboard: bool = True):
+                 mesh=None, tensorboard: bool = True,
+                 device_data: np.ndarray | None = None,
+                 device_dev: np.ndarray | None = None):
+        """device_data/device_dev: optional [N, T, 138] record arrays kept
+        resident on the accelerator (datasets.load_all_chunks).  With
+        device_data set, `train_iter` must yield int32 INDEX batches
+        (datasets.index_iterator) and `dev_batches` index batches into
+        device_dev — only indices cross the host link per step.
+        Single-process only (per-process-different arrays would break
+        SPMD); the loader path stays the multi-host mode."""
         self.config = config
         self.train_iter = train_iter
         self.dev_batches = dev_batches or []
+        if device_data is not None and jax.process_count() > 1:
+            raise ValueError("device-resident data is single-process only")
         if mesh is None:
             # the GLOBAL batch (per-process batch x process count) is
             # sharded over the mesh, so the device count must divide it;
@@ -92,8 +103,21 @@ class Trainer:
         self.state = pm.replicate(
             self.mesh,
             ts.init_train_state(jax.random.PRNGKey(config.seed), self.tx))
-        self._train_step, self._eval_step = ts.make_jitted_steps(
-            self.tx, self.mesh)
+        self._device_mode = device_data is not None
+        if self._device_mode:
+            def put(rec):
+                x, y = datasets.split_xy(rec)
+                return (pm.replicate(self.mesh, jax.numpy.asarray(x)),
+                        pm.replicate(self.mesh, jax.numpy.asarray(y)))
+            self._xa, self._ya = put(device_data)
+            self._dev_xa, self._dev_ya = (put(device_dev)
+                                          if device_dev is not None
+                                          else (None, None))
+            self._train_step, self._eval_step = ts.make_jitted_index_steps(
+                self.tx, self.mesh)
+        else:
+            self._train_step, self._eval_step = ts.make_jitted_steps(
+                self.tx, self.mesh)
         self.history: list[dict[str, Any]] = []
         # TensorBoard scalars + intermediate-result heatmaps, like the
         # reference (rnn_train.py:431-462); optional dependency.
@@ -128,7 +152,12 @@ class Trainer:
             return
         import jax.numpy as jnp
         from percepnet_tpu.models import percepnet as model
-        x, y = datasets.split_xy(self.dev_batches[0][:1])
+        if self._device_mode:
+            idx = jnp.asarray(self.dev_batches[0][:1])
+            x = jax.device_get(jnp.take(self._dev_xa, idx, axis=0))
+            y = jax.device_get(jnp.take(self._dev_ya, idx, axis=0))
+        else:
+            x, y = datasets.split_xy(self.dev_batches[0][:1])
         g, r, _ = model.forward(jax.device_get(self.state.params),
                                 jnp.asarray(x))
         for name, pred, tgt in [("g", g[0], y[0, :, :34]),
@@ -174,10 +203,15 @@ class Trainer:
     def evaluate(self) -> float:
         if not self.dev_batches:
             return float("nan")
+        import jax.numpy as jnp
         losses = []
         for b in self.dev_batches:
-            x, y = self._device_batch(b)
-            losses.append(float(self._eval_step(self.state, x, y)))
+            if self._device_mode:
+                losses.append(float(self._eval_step(
+                    self.state, self._dev_xa, self._dev_ya, jnp.asarray(b))))
+            else:
+                x, y = self._device_batch(b)
+                losses.append(float(self._eval_step(self.state, x, y)))
         return float(np.mean(losses))
 
     def run(self) -> None:
@@ -207,8 +241,13 @@ class Trainer:
         try:
             while step < cfg.train_max_steps and not stop["now"]:
                 batch = next(self.train_iter)
-                x, y = self._device_batch(batch)
-                self.state, loss = self._train_step(self.state, x, y)
+                if self._device_mode:
+                    import jax.numpy as jnp
+                    self.state, loss = self._train_step(
+                        self.state, self._xa, self._ya, jnp.asarray(batch))
+                else:
+                    x, y = self._device_batch(batch)
+                    self.state, loss = self._train_step(self.state, x, y)
                 step += 1
                 if step % cfg.log_interval_steps == 0:
                     dt = time.time() - t0

@@ -198,3 +198,41 @@ def test_trainer_preemption_checkpoint(tmp_path):
     tr2 = Trainer(cfg, it(), tensorboard=False)
     assert tr2.restore()
     assert int(jax.device_get(tr2.state.step)) == step
+
+
+def test_device_resident_mode_matches_loader_mode(tmp_path):
+    """Device-resident corpus (index-only steps) must reproduce the
+    host-batch path exactly: index_iterator shares batch_iterator's
+    seeded stream, and the on-device gather feeds identical batches."""
+    from percepnet_tpu.train import datasets
+    from percepnet_tpu.train.trainer import Trainer, TrainConfig
+
+    rng = np.random.default_rng(11)
+    recs = rng.uniform(0.05, 0.95, (6, 5, 138)).astype(np.float32)
+
+    class ArrayDataset:
+        def __len__(self):
+            return len(recs)
+        def __getitem__(self, i):
+            return recs[i]
+
+    ds = ArrayDataset()
+    kw = dict(batch_size=2, seq_len=5, train_max_steps=4,
+              log_interval_steps=100, eval_interval_steps=100,
+              save_interval_steps=100)
+
+    cfg_a = TrainConfig(out_dir=str(tmp_path / "a"), **kw)
+    tr_a = Trainer(cfg_a, datasets.batch_iterator(ds, 2, seed=3),
+                   tensorboard=False)
+    tr_a.run()
+
+    cfg_b = TrainConfig(out_dir=str(tmp_path / "b"), **kw)
+    tr_b = Trainer(cfg_b, datasets.index_iterator(len(ds), 2, seed=3),
+                   tensorboard=False,
+                   device_data=datasets.load_all_chunks(ds))
+    tr_b.run()
+
+    pa = jax.device_get(tr_a.state.params)
+    pb = jax.device_get(tr_b.state.params)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
