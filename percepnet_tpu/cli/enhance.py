@@ -53,7 +53,7 @@ def load_params(path: str):
 
 def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
                   drop_first_frame: bool = True, compat: bool = False,
-                  dump_gr_paths=None):
+                  dump_gr_paths=None, model_dtype=None):
     import jax
     import jax.numpy as jnp
     from percepnet_tpu import constants as C
@@ -65,6 +65,8 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
         from percepnet_tpu.ops.activations import sigmoid_approx, \
             tansig_approx
         kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
+    if model_dtype is not None:
+        kw["compute_dtype"] = model_dtype
 
     signals = [read_pcm16(p, normalize=True) for p in in_paths]
     n_frames = [len(s) // C.FRAME_SIZE for s in signals]
@@ -73,7 +75,8 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
     dump_gr = dump_gr_paths is not None
     step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(
         p, s, st, return_gr=dump_gr, **kw), donate_argnums=(2,))
-    state = pipeline.init_pipeline_state(bsz)
+    state = pipeline.init_pipeline_state(
+        bsz, model_dtype=model_dtype or jnp.float32)
     chunk = batch_frames * C.FRAME_SIZE
     max_len = max(nf for nf in n_frames) * C.FRAME_SIZE
     # drain the lookahead with zero frames at the end
@@ -187,6 +190,9 @@ def main(argv=None):
                     help="disable the reference's dropped first frame")
     ap.add_argument("--compat", action="store_true",
                     help="use the C inference tansig/sigmoid tables")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 serving mode (faster MXU path; quality "
+                         "gate: tools/quality_gate.py)")
     ap.add_argument("--dump-gr", nargs="?", const="feature_test.raw",
                     metavar="PATH",
                     help="dump per-frame g,r (34+34 float32/frame) like the "
@@ -226,9 +232,14 @@ def main(argv=None):
                               compat=args.compat,
                               report_latency=args.report_latency)
     else:
+        model_dtype = None
+        if args.bf16:
+            import jax.numpy as jnp
+            model_dtype = jnp.bfloat16
         enhance_files(params, ins, outs, batch_frames=args.batch_frames,
                       drop_first_frame=not args.keep_first_frame,
-                      compat=args.compat, dump_gr_paths=gr_paths)
+                      compat=args.compat, dump_gr_paths=gr_paths,
+                      model_dtype=model_dtype)
 
 
 if __name__ == "__main__":

@@ -5,8 +5,10 @@ Usage:
   python -m percepnet_tpu evaluate --pairs-file pairs.txt [--json]
 
 A pairs file has lines `clean.pcm enhanced.pcm`.  Prints per-pair metrics
-and the mean — the evaluation half of the DNS-Challenge quality loop
-(PESQ is not reimplemented; STOI + SI-SDR are).
+and the mean — the evaluation half of the DNS-Challenge quality loop:
+STOI, SI-SDR, SNR, and a P.862-structured `pesq_like` score
+(utils.pesq — NOT validated against ITU conformance vectors; see its
+docstring for the calibration caveat).
 """
 
 from __future__ import annotations
@@ -39,10 +41,12 @@ def evaluate_pair(clean_path: str, enhanced_path: str,
         clean = clean[best:]
     n = min(len(clean), len(enh))
     clean, enh = clean[:n], enh[:n]
+    from percepnet_tpu.utils.pesq import pesq_like
     return {
         "stoi": round(metrics.stoi(clean, enh), 4),
         "si_sdr_db": round(metrics.si_sdr_db(clean, enh), 2),
         "snr_db": round(metrics.snr_db(clean, enh), 2),
+        "pesq_like": round(pesq_like(clean, enh), 3),
     }
 
 
@@ -73,9 +77,9 @@ def main(argv=None):
         rows.append(m)
         if not args.json:
             print(f"{enh_p}: stoi {m['stoi']} si_sdr {m['si_sdr_db']} dB "
-                  f"snr {m['snr_db']} dB")
+                  f"snr {m['snr_db']} dB pesq_like {m['pesq_like']}")
     summary = {k: round(float(np.nanmean([r[k] for r in rows])), 4)
-               for k in ("stoi", "si_sdr_db", "snr_db")}
+               for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")}
     if args.json:
         print(json.dumps({"pairs": rows, "mean": summary}))
     else:

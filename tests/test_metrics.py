@@ -99,3 +99,32 @@ def test_stoi_anchor_ranges():
     assert 0.55 < at_snr(0) < 0.95
     assert at_snr(-10) < at_snr(0)
     assert at_snr(-10) < 0.75
+
+
+def test_pesq_like_behavior():
+    """P.862-structured score: identity near ceiling, monotonic vs SNR,
+    constant-delay invariant (see utils.pesq calibration caveat)."""
+    from percepnet_tpu.utils.pesq import pesq_like
+    fs = 48_000
+    n = 3 * fs
+    t = np.arange(n) / fs
+    f0 = 120 + 30 * np.sin(2 * np.pi * 1.7 * t)
+    phase = np.cumsum(f0) / fs
+    x = np.zeros(n)
+    for h in range(1, 40):
+        x += np.sin(2 * np.pi * h * phase) / np.sqrt(h)
+    x *= 0.4 + 0.6 * np.sin(2 * np.pi * 3.0 * t) ** 2
+    rng = np.random.default_rng(10)
+    noise = rng.normal(size=n)
+
+    def at_snr(db):
+        nn = noise * np.sqrt(np.mean(x**2) / np.mean(noise**2)
+                             * 10 ** (-db / 10))
+        return pesq_like(x, x + nn)
+
+    assert pesq_like(x, x) > 4.3
+    s20, s10, s0 = at_snr(20), at_snr(10), at_snr(0)
+    assert 4.64 >= s20 > s10 > s0 >= 1.0
+    assert s0 < 2.0
+    delayed = np.concatenate([np.zeros(4800), x])[:n]
+    assert abs(pesq_like(x, delayed) - pesq_like(x, x)) < 0.1

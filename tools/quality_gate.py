@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Quality evaluation + bf16 serving gate for a trained checkpoint.
+
+Enhances held-out noisy files with the given weights in f32 AND bf16
+serving modes, then reports STOI / SI-SDR against the clean references:
+
+  * enhancement gain: enhanced vs the noisy baseline (must improve),
+  * bf16 gate: bf16-vs-f32 quality deltas must stay within the stated
+    bounds (|dSTOI| <= 0.005, |dSI-SDR| <= 0.3 dB) for bf16 to be an
+    acceptable serving default.
+
+Usage:
+  python tools/quality_gate.py --weights work/dns/exp/checkpoint-12000.npz \
+      --clean-dir work/dns/clean --noisy-dir work/dns/noisy \
+      --dev-filelist work/dns/lists/dev_filelist.txt [--limit 16]
+
+Prints one JSON line with the full metric table and exits non-zero if
+enhancement fails to beat the noisy baseline or the bf16 gate fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--clean-dir", required=True)
+    ap.add_argument("--noisy-dir", required=True)
+    ap.add_argument("--dev-filelist",
+                    help="feature filelist whose basenames select the "
+                         "held-out pairs (recipe layout); default: all "
+                         "pairs in --noisy-dir")
+    ap.add_argument("--limit", type=int, default=16)
+    ap.add_argument("--out-dir", help="keep enhanced PCM here")
+    ap.add_argument("--skip-bf16", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.dev_filelist:
+        with open(args.dev_filelist) as f:
+            names = [os.path.splitext(os.path.basename(ln.strip()))[0]
+                     for ln in f if ln.strip()]
+    else:
+        names = [os.path.splitext(n)[0]
+                 for n in sorted(os.listdir(args.noisy_dir))]
+    names = names[: args.limit]
+    cleans = [os.path.join(args.clean_dir, n + ".pcm") for n in names]
+    noisys = [os.path.join(args.noisy_dir, n + ".pcm") for n in names]
+
+    import tempfile
+
+    from percepnet_tpu.cli.enhance import enhance_files, load_params
+    from percepnet_tpu.cli.evaluate import evaluate_pair
+
+    params = load_params(args.weights)
+    out_root = args.out_dir or tempfile.mkdtemp(prefix="quality_gate_")
+
+    def run_mode(tag, model_dtype):
+        outs = [os.path.join(out_root, tag, n + ".pcm") for n in names]
+        os.makedirs(os.path.join(out_root, tag), exist_ok=True)
+        enhance_files(params, noisys, outs, model_dtype=model_dtype)
+        rows = [evaluate_pair(c, o) for c, o in zip(cleans, outs)]
+        return {k: round(float(np.mean([r[k] for r in rows])), 4)
+                for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")}
+
+    baseline = [evaluate_pair(c, n, align=False)
+                for c, n in zip(cleans, noisys)]
+    report = {
+        "pairs": len(names),
+        "noisy_baseline": {
+            k: round(float(np.mean([r[k] for r in baseline])), 4)
+            for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")},
+        "f32": run_mode("f32", None),
+    }
+    if not args.skip_bf16:
+        import jax.numpy as jnp
+        report["bf16"] = run_mode("bf16", jnp.bfloat16)
+        report["bf16_delta"] = {
+            "stoi": round(report["bf16"]["stoi"] - report["f32"]["stoi"], 4),
+            "si_sdr_db": round(report["bf16"]["si_sdr_db"]
+                               - report["f32"]["si_sdr_db"], 3)}
+        report["bf16_gate_ok"] = bool(
+            abs(report["bf16_delta"]["stoi"]) <= 0.005
+            and abs(report["bf16_delta"]["si_sdr_db"]) <= 0.3)
+
+    report["enhancement_ok"] = bool(
+        report["f32"]["stoi"] >= report["noisy_baseline"]["stoi"]
+        and report["f32"]["si_sdr_db"] > report["noisy_baseline"]["si_sdr_db"])
+
+    print(json.dumps(report))
+    ok = report["enhancement_ok"] and report.get("bf16_gate_ok", True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
