@@ -65,6 +65,60 @@ def _batched_corr(sig: jax.Array, ker: jax.Array, out_len: int) -> jax.Array:
     return out[0, :, :out_len]
 
 
+@functools.lru_cache(maxsize=None)
+def _corr_dft_tables(sig_len: int, ker_len: int, out_len: int):
+    """DFT/IDFT matmul tables for frequency-domain batched correlation.
+
+    N is the smallest 2^k circular size with no wraparound for shifts
+    < out_len (out_len-1 + ker_len-1 < N).  Returns float32 numpy tables:
+    forward cos/sin cut to the nonzero (unpadded) rows, and the inverse
+    real-correlation tables folded with the 1/N and conjugation weights.
+    """
+    import numpy as np
+    n = 1
+    while n < out_len + ker_len - 1 or n < sig_len:
+        n *= 2
+    k = np.arange(n // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(np.arange(n), k) / n
+    cos, sin = np.cos(ang), np.sin(ang)
+    w = np.full(n // 2 + 1, 2.0 / n)
+    w[0] = 1.0 / n
+    if n % 2 == 0:
+        w[-1] = 1.0 / n
+    i = np.arange(out_len)
+    iang = 2.0 * np.pi * np.outer(k, i) / n
+    return (cos[:sig_len].astype(np.float32),
+            sin[:sig_len].astype(np.float32),
+            cos[:ker_len].astype(np.float32),
+            sin[:ker_len].astype(np.float32),
+            (w[:, None] * np.cos(iang)).astype(np.float32),
+            (w[:, None] * np.sin(iang)).astype(np.float32))
+
+
+def _corr_dft(sig: jax.Array, ker: jax.Array, out_len: int) -> jax.Array:
+    """Frequency-domain _batched_corr: three MXU matmul passes instead of
+    the VPU-bound grouped conv (TPU path; ~3x at the full-lag shape).
+
+    c[i] = sum_j ker[j] sig[i+j] = irfft(conj(rfft(ker)) * rfft(sig))[i],
+    exact (no circular wraparound) because N >= out_len + ker_len - 1 and
+    the DFTs/IDFT are dense matmuls at HIGHEST precision.  Numerics: one
+    reassociated reduction, ~1e-6 relative of the row scale — the same
+    class of drift as the banded-matmul window energies; on-chip pitch
+    DECISIONS are audited by tools/check_tpu.py check 6.
+    """
+    cs, ss, ck, sk, icc, ics = map(jnp.asarray, _corr_dft_tables(
+        sig.shape[-1], ker.shape[-1], out_len))
+    sr = jnp.matmul(sig, cs, precision=HIGHEST)
+    si = jnp.matmul(sig, ss, precision=HIGHEST)
+    kr = jnp.matmul(ker, ck, precision=HIGHEST)
+    ki = jnp.matmul(ker, sk, precision=HIGHEST)
+    # with sr/kr = Re(rfft), si/ki = -Im(rfft) (the tables hold +sin):
+    pr = kr * sr + ki * si            # Re(conj(K) * S)
+    pi = kr * si - ki * sr            # -Im(conj(K) * S)
+    return (jnp.matmul(pr, icc, precision=HIGHEST)
+            + jnp.matmul(pi, ics, precision=HIGHEST))
+
+
 # --------------------------------------------------------------------------
 # pitch_downsample: 2x decimation + LPC whitening (pitch.cpp:148-216)
 # --------------------------------------------------------------------------
@@ -274,8 +328,13 @@ def full_xcorr(ds: jax.Array) -> jax.Array:
     One batched correlation whose reversed output doubles as the
     reference's fine-search inner products (fine_xcorr[i] = xc_all[384-i])
     and as every lag lookup inside remove_doubling.
+
+    CPU: grouped-conv formulation (the reduction order the strict parity
+    goldens were validated against).  TPU: frequency-domain matmuls on
+    the MXU (see _corr_dft; decision parity audited on-chip).
     """
-    rev = _batched_corr(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1)
+    corr = _corr_dft if jax.default_backend() == "tpu" else _batched_corr
+    rev = corr(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1)
     return rev[..., ::-1]
 
 
@@ -295,7 +354,8 @@ def pitch_search(ds: jax.Array, xc_all: jax.Array,
     x4 = ds[..., _X_OFF::2][..., : _X_LEN // 2]        # 240
     lag4 = (C.PITCH_FRAME_SIZE + _MAX_PITCH) >> 2      # 387
     y4 = ds[..., 0 : 2 * lag4 : 2]                     # 387
-    xcorr4 = _batched_corr(y4, x4, _COARSE_LAGS)
+    corr = _corr_dft if jax.default_backend() == "tpu" else _batched_corr
+    xcorr4 = corr(y4, x4, _COARSE_LAGS)
     b0c, b1c = _find_best_pitch(xcorr4, y4, _X_LEN // 2)
 
     # --- fine, 2x domain: only lags within +/-2 of 2*coarse candidates ---

@@ -86,3 +86,18 @@ def test_tansig_approx_matches_tanh():
     np.testing.assert_allclose(got, np.tanh(np.asarray(x)), atol=2e-6)
     s = np.asarray(activations.sigmoid_approx(x))
     np.testing.assert_allclose(s, 1 / (1 + np.exp(-np.asarray(x))), atol=2e-6)
+
+
+def test_corr_dft_matches_grouped_conv():
+    """The TPU frequency-domain correlation must match the CPU grouped
+    conv at both pitch-search shapes (full-lag and coarse)."""
+    import numpy as np
+    from percepnet_tpu.ops import pitch as P
+    rng = np.random.default_rng(20)
+    for sig_len, ker_len, out_len in ((864, 480, 385), (387, 240, 147)):
+        sig = jnp.asarray(rng.normal(size=(3, sig_len)).astype(np.float32))
+        ker = jnp.asarray(rng.normal(size=(3, ker_len)).astype(np.float32))
+        a = np.asarray(P._batched_corr(sig, ker, out_len))
+        b = np.asarray(P._corr_dft(sig, ker, out_len))
+        rel = np.abs(a - b).max() / np.abs(a).max()
+        assert rel < 1e-5, (sig_len, rel)
