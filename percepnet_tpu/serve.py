@@ -41,16 +41,21 @@ class StreamingServer:
     """
 
     def __init__(self, params, capacity: int = 64, *, compat: bool = False,
-                 mesh=None):
+                 mesh=None, model_dtype=None):
         """mesh: optional jax.sharding mesh — slots shard across chips
         (capacity must be divisible by the mesh size), params replicate,
-        and the tick becomes one SPMD step over all chips."""
+        and the tick becomes one SPMD step over all chips.
+        model_dtype: jnp.bfloat16 serves the NN in bf16 (quality gate:
+        tools/quality_gate.py)."""
         self.capacity = capacity
         kw = {}
         if compat:
             from percepnet_tpu.ops.activations import sigmoid_approx, \
                 tansig_approx
             kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
+        if model_dtype is not None:
+            kw["compute_dtype"] = model_dtype
+        self._model_dtype = model_dtype or jnp.float32
         if mesh is not None:
             from percepnet_tpu.parallel import mesh as pm
             assert capacity % mesh.devices.size == 0, \
@@ -64,13 +69,15 @@ class StreamingServer:
                 out_shardings=(data_s, data_s),
                 donate_argnums=(2,))
             self._state = jax.device_put(
-                pipeline.init_pipeline_state(capacity), data_s)
+                pipeline.init_pipeline_state(
+                    capacity, model_dtype=self._model_dtype), data_s)
         else:
             self.params = params
             self._step = jax.jit(
                 lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
                 donate_argnums=(2,))
-            self._state = pipeline.init_pipeline_state(capacity)
+            self._state = pipeline.init_pipeline_state(
+                capacity, model_dtype=self._model_dtype)
         self._zero_state = jax.tree.map(jnp.copy, self._state)
         self._free = list(range(capacity))[::-1]
         self._active: set[int] = set()

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Deployment round trip: trained checkpoint -> nnet_data.cpp -> compiled
+reference `percepNet_run` -> PCM, compared against our own enhancement.
+
+This is the reference README's step-7 loop (train -> dump_percepnet.py ->
+cmake && make -> percepNet_run; /root/reference/README.md:60-75) driven
+with weights trained HERE: the exported C source must build the C++
+runtime, and the C++ runtime's output must match our pipeline (compat
+activation tables) within the 1e-4 normalized-PCM parity gate.
+
+Usage:
+  JAX_PLATFORMS=cpu python tools/roundtrip_check.py \
+      --weights work/dns/exp/checkpoint-12000.npz \
+      --noisy work/dns/noisy/fileid_300.pcm [--build /tmp/roundtrip]
+
+Prints one JSON line; exits non-zero if the gate fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference/src"
+REF_SOURCES = [
+    f"{REF}/denoise.cpp", f"{REF}/kiss_fft.cpp", f"{REF}/pitch.cpp",
+    f"{REF}/celt_lpc.cpp", f"{REF}/nnet.cpp", f"{REF}/rnn.cpp",
+    f"{REF}/main.cpp",
+]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--weights", required=True)
+    ap.add_argument("--noisy", required=True)
+    ap.add_argument("--build", default="/tmp/roundtrip")
+    ap.add_argument("--seconds", type=float, default=10.0,
+                    help="clip length fed through both runtimes")
+    args = ap.parse_args(argv)
+
+    os.makedirs(args.build, exist_ok=True)
+
+    from percepnet_tpu.cli.enhance import enhance_files, load_params
+    from percepnet_tpu.io.nnet_data import emit_nnet_data_cpp
+    from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
+
+    params = load_params(args.weights)
+
+    # 1. export the C weight source (the dump_percepnet.py artifact)
+    nnet_cpp = os.path.join(args.build, "nnet_data.cpp")
+    emit_nnet_data_cpp(params, nnet_cpp)
+
+    # 2. build the reference runtime against it
+    subprocess.run(
+        ["g++", "-O2", "-w", "-DTRAINING=0", f"-I{REF}", *REF_SOURCES,
+         nnet_cpp, "-o", os.path.join(args.build, "percepNet_run")],
+        check=True)
+
+    # 3. run it on the clip
+    clip = read_pcm16(args.noisy)[: int(args.seconds * 48_000)]
+    noisy = os.path.join(args.build, "noisy.pcm")
+    write_pcm16(noisy, clip)
+    c_out = os.path.join(args.build, "c_out.pcm")
+    subprocess.run([os.path.join(args.build, "percepNet_run"), noisy, c_out],
+                   check=True, cwd=args.build)
+
+    # 4. our pipeline on the same clip, compat activation tables
+    ours_out = os.path.join(args.build, "ours_out.pcm")
+    enhance_files(params, [noisy], [ours_out], compat=True)
+
+    ref_pcm = np.fromfile(c_out, "<i2").astype(np.float32)
+    our_pcm = np.fromfile(ours_out, "<i2").astype(np.float32)
+    n = min(len(ref_pcm), len(our_pcm))
+    err = np.abs(our_pcm[:n] - ref_pcm[:n]) / 32768.0
+    report = {
+        "frames": n // 480,
+        "max_norm_err": float(err.max()),
+        "mean_norm_err": float(err.mean()),
+        "gate_1e-4": bool(err.max() < 1e-4),
+        "nnet_data_cpp_bytes": os.path.getsize(nnet_cpp),
+    }
+    print(json.dumps(report))
+    return 0 if report["gate_1e-4"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
