@@ -22,6 +22,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: the B=512 pipeline takes minutes to compile
+# through a remote-TPU tunnel; cache hits make bench re-runs fast
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from percepnet_tpu import pipeline
 from percepnet_tpu.models import percepnet
 

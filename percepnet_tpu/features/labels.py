@@ -85,15 +85,17 @@ def make_labels(clean_out: dict, noisy_out: dict, *,
 
 def make_records(clean_out: dict, noisy_out: dict, *,
                  apply_postfilter: bool = True) -> jax.Array:
-    """[T, 138] training records in the reference layout (denoise.cpp:761-773)."""
+    """[..., T, 138] training records in the reference layout
+    (denoise.cpp:761-773); accepts single-utterance [T, ...] or batched
+    [B, T, ...] analysis dicts."""
     labels = make_labels(clean_out, noisy_out,
                          apply_postfilter=apply_postfilter)
     t = noisy_out["period"].astype(jnp.float32) / C.PITCH_T_NORM
     return jnp.concatenate([
         noisy_out["ey_look"],
         noisy_out["exp"],
-        t[:, None],
-        noisy_out["corr"][:, None],
+        t[..., None],
+        noisy_out["corr"][..., None],
         labels["g"],
         labels["r"],
     ], axis=-1)

@@ -101,3 +101,19 @@ def test_enhance_cli_dump_gr_matches_reference(tmp_path, featgen_goldens):
     ref = nn["gr"]
     assert gr.shape == ref.shape
     np.testing.assert_allclose(gr, ref, atol=1e-5)
+
+
+def test_featgen_batch_matches_single(tmp_path):
+    """Batched featgen (one jitted pass over many pairs) must reproduce
+    the per-pair path row for row."""
+    from percepnet_tpu.cli.featgen import generate_batch, generate_pair
+    rng = np.random.default_rng(12)
+    count = 30
+    n = count * C.FRAME_SIZE
+    cleans = [(rng.normal(0, 3000, n)).astype(np.float32) for _ in range(3)]
+    noisys = [c + rng.normal(0, 1000, n).astype(np.float32) for c in cleans]
+    batch = generate_batch(cleans, noisys, count)
+    assert batch.shape == (3, count, 138)
+    for i in range(3):
+        single, _ = generate_pair(cleans[i], noisys[i], count)
+        np.testing.assert_allclose(batch[i], single, rtol=2e-5, atol=2e-5)

@@ -168,12 +168,14 @@ def main(argv=None):
     ap.add_argument("--pairs", type=int, default=300)
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--start-index", type=int, default=0,
+                    help="first fileid number (extend an existing set)")
     args = ap.parse_args(argv)
 
     os.makedirs(os.path.join(args.out_dir, "clean"), exist_ok=True)
     os.makedirs(os.path.join(args.out_dir, "noisy"), exist_ok=True)
     rng = np.random.default_rng(args.seed)
-    for i in range(args.pairs):
+    for i in range(args.start_index, args.start_index + args.pairs):
         clean, noisy, snr = make_pair(args.seconds, rng)
         name = f"fileid_{i}.pcm"
         clean.tofile(os.path.join(args.out_dir, "clean", name))
