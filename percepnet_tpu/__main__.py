@@ -29,7 +29,20 @@ def main() -> None:
     mod_name, fn_name = COMMANDS[cmd]
     import importlib
     fn = getattr(importlib.import_module(mod_name), fn_name)
+    _enable_compile_cache()
     fn(sys.argv[2:])
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache for every CLI entry: the batched
+    pipeline graphs take minutes to compile through a remote-TPU tunnel,
+    and CLI invocations are short-lived processes."""
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
