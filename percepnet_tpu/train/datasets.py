@@ -137,6 +137,10 @@ def batch_iterator(dataset, batch_size: int, *, shuffle: bool = True,
     `epochs=None` iterates forever (the reference trains by max_steps,
     not epochs).
     """
+    if drop_last and epochs is None and len(dataset) < batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} chunks < batch_size {batch_size}; "
+            "the infinite iterator would never yield (next() would hang)")
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:
@@ -179,6 +183,10 @@ def index_iterator(n: int, batch_size: int, *, shuffle: bool = True,
                    epochs: int | None = None) -> Iterator[np.ndarray]:
     """Yield int32 index batches with batch_iterator's exact stream
     semantics (seeded per-epoch reshuffle), for device-resident data."""
+    if drop_last and epochs is None and n < batch_size:
+        raise ValueError(
+            f"{n} chunks < batch_size {batch_size}; the infinite iterator "
+            "would never yield (next() would hang)")
     rng = np.random.default_rng(seed)
     epoch = 0
     while epochs is None or epoch < epochs:

@@ -236,3 +236,23 @@ def test_device_resident_mode_matches_loader_mode(tmp_path):
     pb = jax.device_get(tr_b.state.params)
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_iterators_raise_instead_of_hanging_on_tiny_dataset():
+    """An infinite iterator over fewer chunks than batch_size would never
+    yield (next() hangs); it must raise at construction instead."""
+    import pytest
+    from percepnet_tpu.train import datasets
+
+    class Tiny:
+        def __len__(self):
+            return 2
+        def __getitem__(self, i):
+            return np.zeros((4, 138), np.float32)
+
+    with pytest.raises(ValueError, match="never yield"):
+        next(datasets.batch_iterator(Tiny(), 8))
+    with pytest.raises(ValueError, match="never yield"):
+        next(datasets.index_iterator(2, 8))
+    # finite-epoch iterators may legitimately yield nothing
+    assert list(datasets.batch_iterator(Tiny(), 8, epochs=1)) == []
