@@ -53,7 +53,19 @@ def load_params(path: str):
 
 def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
                   drop_first_frame: bool = True, compat: bool = False,
-                  dump_gr_paths=None, model_dtype=None):
+                  dump_gr_paths=None, model_dtype=None,
+                  raw_scale: bool = False):
+    """raw_scale: feed raw int16 amplitudes instead of /32768.
+
+    The reference has a scale MISMATCH between its two binaries: featgen
+    reads raw amplitudes (NORM_RATIO=1, denoise.cpp:41) while
+    percepNet_run divides by 32768 (main.cpp:34) — and the band-energy /
+    pitch-corr features are NOT scale-invariant, so a net trained on
+    featgen records sees ~1e-9x smaller energies under the inference
+    scale.  Default False = faithful percepNet_run behavior (the parity
+    surface); True = match the training-data scale, which is what a
+    checkpoint trained on this recipe actually needs.
+    """
     import jax
     import jax.numpy as jnp
     from percepnet_tpu import constants as C
@@ -68,7 +80,8 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
     if model_dtype is not None:
         kw["compute_dtype"] = model_dtype
 
-    signals = [read_pcm16(p, normalize=True) for p in in_paths]
+    pcm_scale = 1.0 if raw_scale else 32768.0
+    signals = [read_pcm16(p, normalize=not raw_scale) for p in in_paths]
     n_frames = [len(s) // C.FRAME_SIZE for s in signals]
     bsz = len(signals)
 
@@ -106,7 +119,7 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
         y = np.concatenate(outs[i])
         skip = C.FRAME_SIZE if drop_first_frame else 0
         keep = nf * C.FRAME_SIZE - skip
-        write_pcm16(path, y[skip : skip + keep], scale=32768.0)
+        write_pcm16(path, y[skip : skip + keep], scale=pcm_scale)
         if dump_gr:
             # the reference's feature_test.raw: per processed frame, 34 g
             # then 34 r float32 (denoise.cpp:533-534) — one record per
@@ -193,6 +206,11 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 serving mode (faster MXU path; quality "
                          "gate: tools/quality_gate.py)")
+    ap.add_argument("--raw-scale", action="store_true",
+                    help="feed raw int16 amplitudes (the featgen/training "
+                         "scale) instead of the reference binary's /32768 "
+                         "— required for checkpoints trained on this "
+                         "recipe; see enhance_files docstring")
     ap.add_argument("--dump-gr", nargs="?", const="feature_test.raw",
                     metavar="PATH",
                     help="dump per-frame g,r (34+34 float32/frame) like the "
@@ -239,7 +257,7 @@ def main(argv=None):
         enhance_files(params, ins, outs, batch_frames=args.batch_frames,
                       drop_first_frame=not args.keep_first_frame,
                       compat=args.compat, dump_gr_paths=gr_paths,
-                      model_dtype=model_dtype)
+                      model_dtype=model_dtype, raw_scale=args.raw_scale)
 
 
 if __name__ == "__main__":

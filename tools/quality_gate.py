@@ -66,7 +66,11 @@ def main(argv=None):
     def run_mode(tag, model_dtype):
         outs = [os.path.join(out_root, tag, n + ".pcm") for n in names]
         os.makedirs(os.path.join(out_root, tag), exist_ok=True)
-        enhance_files(params, noisys, outs, model_dtype=model_dtype)
+        # raw_scale: the checkpoint was trained on featgen-scale features
+        # (NORM_RATIO=1); see enhance_files docstring for the reference's
+        # inference/training scale mismatch
+        enhance_files(params, noisys, outs, model_dtype=model_dtype,
+                      raw_scale=True)
         rows = [evaluate_pair(c, o) for c, o in zip(cleans, outs)]
         return {k: round(float(np.mean([r[k] for r in rows])), 4)
                 for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")}
