@@ -172,12 +172,19 @@ def forward(params: PercepNetParams, features: jax.Array,
             state: ModelState | None = None, *,
             act_tanh: Callable = jnp.tanh,
             act_sigmoid: Callable = jax.nn.sigmoid,
+            remat: bool = False,
             compute_dtype=None):
     """Whole-sequence forward pass.
 
     Args:
       features: [B, T, 70] model input (already x30-scaled).
       state: optional streaming ModelState (None = zeros).
+      remat: rematerialize the GRU scan step (jax.checkpoint): backward
+        recomputes each step's gate activations instead of storing
+        [B, T, 512]-sized intermediates for all five GRUs — cuts training
+        activation memory several GB at the recipe shape so large
+        device-resident corpora fit HBM.  Trades ~1 extra forward of
+        scan FLOPs inside backward.
       compute_dtype: optional serving dtype (jnp.bfloat16): params,
         activations, and the GRU recurrence run in that dtype (one native
         MXU pass per matmul instead of the f32 bf16x3 decomposition,
@@ -223,7 +230,7 @@ def forward(params: PercepNetParams, features: jax.Array,
     init = (state.h1, state.h2, state.h3, state.h_gb, state.h_rb)
     # scan over time: move T to the leading axis
     xs = (jnp.moveaxis(pre1, 1, 0), jnp.moveaxis(pre_rb_conv, 1, 0))
-    carry, ys = lax.scan(step, init, xs)
+    carry, ys = lax.scan(jax.checkpoint(step) if remat else step, init, xs)
     h1s, h2s, h3s, hgbs, hrbs = ys                      # [T, B, .]
 
     # Apply the output heads in scan layout ([T, B, .]) and transpose only

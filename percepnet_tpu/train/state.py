@@ -43,8 +43,14 @@ def init_train_state(key: jax.Array,
 
 
 def loss_fn(params, features, targets):
-    """features [B,T,70] (x30-scaled), targets [B,T,68] = concat(g, r)."""
-    g, r, _ = percepnet.forward(params, features)
+    """features [B,T,70] (x30-scaled), targets [B,T,68] = concat(g, r).
+
+    The GRU scan is rematerialized (remat=True): backward recomputes gate
+    activations per step, saving several GB of HBM at the recipe shape —
+    which is what lets multi-GB device-resident corpora coexist with
+    training (see datasets.load_all_chunks).
+    """
+    g, r, _ = percepnet.forward(params, features, remat=True)
     out = jnp.concatenate([g, r], axis=-1)
     return percepnet_loss(out, targets)
 
