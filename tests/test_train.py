@@ -256,3 +256,26 @@ def test_iterators_raise_instead_of_hanging_on_tiny_dataset():
         next(datasets.index_iterator(2, 8))
     # finite-epoch iterators may legitimately yield nothing
     assert list(datasets.batch_iterator(Tiny(), 8, epochs=1)) == []
+
+
+def test_remat_gradients_match_no_remat():
+    """jax.checkpoint on the GRU scan must not change loss or gradients
+    (it only changes what backward stores vs recomputes)."""
+    import jax.numpy as jnp
+    from percepnet_tpu.models import percepnet as M
+    from percepnet_tpu.train.loss import percepnet_loss
+
+    params = M.init_params(jax.random.PRNGKey(5))
+    x = jax.random.uniform(jax.random.PRNGKey(6), (2, 12, 70))
+    y = jax.random.uniform(jax.random.PRNGKey(7), (2, 12, 68)) * 0.9
+
+    def loss(p, remat):
+        g, r, _ = M.forward(p, x, remat=remat)
+        return percepnet_loss(jnp.concatenate([g, r], -1), y)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(p, True))(params)
+    assert abs(float(l0) - float(l1)) < 1e-7
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
