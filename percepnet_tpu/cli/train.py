@@ -46,6 +46,10 @@ def main(argv=None):
     ap.add_argument("--max-steps", type=int)
     ap.add_argument("--log-interval", type=int)
     ap.add_argument("--no-tensorboard", action="store_true")
+    ap.add_argument("--watchdog", type=float, metavar="SECS",
+                    help="exit(17) if no step completes in SECS (wedged "
+                         "device/tunnel); run under a supervisor loop — "
+                         "restart resumes from the last checkpoint")
     ap.add_argument("--device-data-mb", type=int, default=4096,
                     help="keep the whole record corpus resident on the "
                          "accelerator when it fits in this budget (only "
@@ -78,6 +82,8 @@ def main(argv=None):
         overrides["train_max_steps"] = args.max_steps
     if args.log_interval:
         overrides["log_interval_steps"] = args.log_interval
+    if args.watchdog:
+        overrides["watchdog_secs"] = args.watchdog
     cfg = (TrainConfig.from_yaml(args.config, **overrides)
            if args.config else TrainConfig(**overrides))
 

@@ -40,6 +40,7 @@ class TrainConfig:
     grad_clip_norm: float | None = None  # reference does not clip
     seed: int = 0
     out_dir: str = "exp"
+    watchdog_secs: float | None = None   # hang detection (see run())
 
     @classmethod
     def from_yaml(cls, path: str, **overrides) -> "TrainConfig":
@@ -238,6 +239,29 @@ class Trainer:
                 old_handlers[sig] = signal.signal(sig, _on_signal)
             except ValueError:       # non-main thread
                 pass
+
+        # Hang detection: a wedged device/tunnel can block a step forever
+        # (observed in the field: remote-TPU tunnel glitch left
+        # block_until_ready hung with the client pinning the chip).  A
+        # stuck device op cannot be cancelled in-process, so the watchdog
+        # hard-exits; a supervisor loop restarts the job and it resumes
+        # exactly from the last interval checkpoint.
+        heartbeat = {"t": time.time()}
+        if cfg.watchdog_secs:
+            import threading
+
+            def _watch():
+                while not stop["now"]:
+                    time.sleep(min(cfg.watchdog_secs / 4, 30.0))
+                    stale = time.time() - heartbeat["t"]
+                    if stale > cfg.watchdog_secs:
+                        log.error(
+                            "watchdog: no step completed in %.0f s "
+                            "(device hang?) — exiting for supervised "
+                            "restart+resume", stale)
+                        os._exit(17)
+
+            threading.Thread(target=_watch, daemon=True).start()
         try:
             while step < cfg.train_max_steps and not stop["now"]:
                 batch = next(self.train_iter)
@@ -249,6 +273,7 @@ class Trainer:
                     x, y = self._device_batch(batch)
                     self.state, loss = self._train_step(self.state, x, y)
                 step += 1
+                heartbeat["t"] = time.time()
                 if step % cfg.log_interval_steps == 0:
                     dt = time.time() - t0
                     sps = (step - steps0) / max(dt, 1e-9)
@@ -268,6 +293,7 @@ class Trainer:
                 if step % cfg.save_interval_steps == 0:
                     self.save()
         finally:
+            stop["now"] = True           # stand down the watchdog
             # always save a final checkpoint (rnn_train.py:644-650)
             self.save()
             if self._tb is not None:
