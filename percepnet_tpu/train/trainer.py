@@ -273,7 +273,14 @@ class Trainer:
                     x, y = self._device_batch(batch)
                     self.state, loss = self._train_step(self.state, x, y)
                 step += 1
-                heartbeat["t"] = time.time()
+                # the heartbeat must track COMPLETED device work, not
+                # dispatches — a wedged device happily accepts hundreds of
+                # async steps (observed) and would keep a dispatch-side
+                # heartbeat fresh.  The periodic sync also bounds how far
+                # the loop runs ahead.
+                if step % min(50, cfg.log_interval_steps) == 0:
+                    jax.block_until_ready(loss)
+                    heartbeat["t"] = time.time()
                 if step % cfg.log_interval_steps == 0:
                     dt = time.time() - t0
                     sps = (step - steps0) / max(dt, 1e-9)
