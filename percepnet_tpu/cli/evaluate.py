@@ -27,18 +27,20 @@ def evaluate_pair(clean_path: str, enhanced_path: str,
     clean = read_pcm16(clean_path, normalize=True)
     enh = read_pcm16(enhanced_path, normalize=True)
     if align:
-        # compensate the enhancer's algorithmic delay (lookahead+1 frames
-        # minus the dropped first frame -> FRAME_LOOKAHEAD frames)
+        # compensate the enhancer's algorithmic delay: the OUTPUT LAGS the
+        # input by lookahead+1 frames minus the dropped first frame
+        # (enh[t] enhances clean[t - FRAME_LOOKAHEAD*480]), so leading
+        # samples are dropped from the ENHANCED side
         d = C.FRAME_LOOKAHEAD * C.FRAME_SIZE
         best, best_sdr = 0, -1e9
         for cand in (0, d, d + C.FRAME_SIZE):
-            n = min(len(clean) - cand, len(enh))
+            n = min(len(clean), len(enh) - cand)
             if n <= 0:
                 continue
-            sdr = metrics.si_sdr_db(clean[cand : cand + n], enh[:n])
+            sdr = metrics.si_sdr_db(clean[:n], enh[cand : cand + n])
             if sdr > best_sdr:
                 best, best_sdr = cand, sdr
-        clean = clean[best:]
+        enh = enh[best:]
     n = min(len(clean), len(enh))
     clean, enh = clean[:n], enh[:n]
     from percepnet_tpu.utils.pesq import pesq_like

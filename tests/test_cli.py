@@ -117,3 +117,27 @@ def test_featgen_batch_matches_single(tmp_path):
     for i in range(3):
         single, _ = generate_pair(cleans[i], noisys[i], count)
         np.testing.assert_allclose(batch[i], single, rtol=2e-5, atol=2e-5)
+
+
+def test_evaluate_pair_aligns_lagging_output(tmp_path):
+    """The enhancer's output LAGS the input by FRAME_LOOKAHEAD frames;
+    alignment must drop leading samples from the ENHANCED side.  (A
+    wrong-direction alignment scored a perfect-but-delayed output at
+    -40 dB SI-SDR.)"""
+    from percepnet_tpu.cli.evaluate import evaluate_pair
+    from percepnet_tpu.io.pcm import write_pcm16
+    rng = np.random.default_rng(13)
+    t = np.arange(2 * 48000) / 48000
+    phase = np.cumsum(180 + 40 * np.sin(2 * np.pi * t)) / 48000
+    # broadband harmonic stack (covers the STOI third-octave bands)
+    clean = 0.05 * sum(np.sin(2 * np.pi * h * phase) / np.sqrt(h)
+                       for h in range(1, 30))
+    d = C.FRAME_LOOKAHEAD * C.FRAME_SIZE
+    enh = np.concatenate([np.zeros(d), clean])[: len(clean)]
+    enh = enh + 1e-4 * rng.normal(size=len(enh))
+    cp, ep = str(tmp_path / "c.pcm"), str(tmp_path / "e.pcm")
+    write_pcm16(cp, clean, scale=32768.0)
+    write_pcm16(ep, enh, scale=32768.0)
+    m = evaluate_pair(cp, ep)
+    assert m["si_sdr_db"] > 30
+    assert m["stoi"] > 0.99
