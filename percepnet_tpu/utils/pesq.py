@@ -13,7 +13,12 @@ published description:
 HONESTY NOTE: the chain and its psychoacoustic stages follow the
 standard, but the ITU reference implementation's exact band tables and
 calibration constants are not reproduced and this has NOT been validated
-against ITU conformance vectors.  Scores are calibrated only coarsely
+against ITU conformance vectors.  A least-squares fit of the two
+aggregation slopes against published speech-in-white-noise anchors
+(20/10/5/0 dB -> 2.8/2.1/1.8/1.5 MOS) cannot flatten the curve to the
+real P.862 slope — the residual steepness is structural (masking +
+aggregation detail), not a constant choice — so the constants below keep
+the structurally-motivated values.  Scores are calibrated only coarsely
 (clean -> ~4.5, heavy noise -> low); treat them as a perceptually
 weighted RELATIVE quality measure ("pesq_like"), not certified P.862
 MOS-LQO.  For certified numbers run the ITU reference tool on exported
