@@ -72,21 +72,28 @@ def main(argv=None):
         enhance_files(params, noisys, outs, model_dtype=model_dtype,
                       raw_scale=True)
         rows = [evaluate_pair(c, o) for c, o in zip(cleans, outs)]
-        return {k: round(float(np.mean([r[k] for r in rows])), 4)
+        mean = {k: round(float(np.mean([r[k] for r in rows])), 4)
                 for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")}
+        return mean, rows
 
     baseline = [evaluate_pair(c, n, align=False)
                 for c, n in zip(cleans, noisys)]
+    f32_mean, f32_rows = run_mode("f32", None)
     report = {
         "pairs": len(names),
         "noisy_baseline": {
             k: round(float(np.mean([r[k] for r in baseline])), 4)
             for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")},
-        "f32": run_mode("f32", None),
+        "f32": f32_mean,
+        "per_pair": [
+            {"name": nm,
+             "noisy_si_sdr_db": b["si_sdr_db"], "si_sdr_db": r["si_sdr_db"],
+             "noisy_stoi": b["stoi"], "stoi": r["stoi"]}
+            for nm, b, r in zip(names, baseline, f32_rows)],
     }
     if not args.skip_bf16:
         import jax.numpy as jnp
-        report["bf16"] = run_mode("bf16", jnp.bfloat16)
+        report["bf16"] = run_mode("bf16", jnp.bfloat16)[0]
         report["bf16_delta"] = {
             "stoi": round(report["bf16"]["stoi"] - report["f32"]["stoi"], 4),
             "si_sdr_db": round(report["bf16"]["si_sdr_db"]
