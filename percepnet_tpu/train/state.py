@@ -27,12 +27,24 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(learning_rate: float = 1e-4,
-                   clip_norm: float | None = None) -> optax.GradientTransformation:
+                   clip_norm: float | None = None,
+                   skip_nonfinite: bool = True) -> optax.GradientTransformation:
     """Adam as in rnn_train.py:576; optional global-norm clipping (off by
-    default for recipe parity — the reference does not clip)."""
+    default for recipe parity — the reference does not clip).
+
+    skip_nonfinite wraps the whole chain in optax.apply_if_finite: a batch
+    whose BPTT gradient explodes to inf/NaN is SKIPPED instead of poisoning
+    the params.  (Observed in the field: 2000-step BPTT occasionally
+    produces an inf global norm; clip_by_global_norm then computes a
+    0 * inf = NaN update and the run never recovers.  The reference's own
+    loss comment says it "causes NaN, need fix" — rnn_train.py:198; this is
+    the fix.  A finite-gradient step is bit-identical either way.)
+    """
     tx = optax.adam(learning_rate)
     if clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(clip_norm), tx)
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx
 
 

@@ -55,6 +55,34 @@ class ThroughputMeter:
         return self._units / dt if dt > 0 else 0.0
 
 
+def chained_time(fn, *args, iters: int = 8) -> float:
+    """Seconds/iteration with ALL the anti-footgun measures this target
+    needs (see CLAUDE.md): `iters` applications are chained inside ONE
+    jit via fori_loop, the first (float-array) argument is perturbed by
+    the loop index so no execution-level memoization or CSE can collapse
+    them, and every output leaf is consumed into the accumulated scalar
+    so XLA cannot dead-code-eliminate any part.  Per-dispatch overhead
+    (milliseconds through a remote-TPU tunnel) is amortized to 1/iters.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def harness(*a):
+        def body(i, acc):
+            first = a[0] + (i * 1e-6).astype(a[0].dtype)
+            out = fn(first, *a[1:])
+            for leaf in jax.tree.leaves(out):
+                acc = acc + jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+            return acc
+        return lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    f = jax.jit(harness)
+    jax.block_until_ready(f(*args))          # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(*args))
+    return (time.perf_counter() - t0) / iters
+
+
 def block_and_time(fn, *args, iters: int = 5, **kw):
     """(result, seconds/iter) with a warmup call and block_until_ready.
 

@@ -148,10 +148,11 @@ def synth_noise(seconds: float, rng: np.random.Generator) -> np.ndarray:
     return x / (np.std(x) + 1e-9)
 
 
-def make_pair(seconds: float, rng: np.random.Generator):
+def make_pair(seconds: float, rng: np.random.Generator,
+              snr_lo: float = 0.0, snr_hi: float = 18.0):
     clean = synth_speech(seconds, rng)
     noise = synth_noise(seconds, rng)
-    snr_db = rng.uniform(0.0, 18.0)
+    snr_db = rng.uniform(snr_lo, snr_hi)
     p_clean = np.mean(clean**2) + 1e-12
     p_noise = np.mean(noise**2) + 1e-12
     noise = noise * np.sqrt(p_clean / p_noise * 10 ** (-snr_db / 10))
@@ -170,13 +171,19 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--start-index", type=int, default=0,
                     help="first fileid number (extend an existing set)")
+    ap.add_argument("--snr-min", type=float, default=0.0)
+    ap.add_argument("--snr-max", type=float, default=18.0,
+                    help="DNS-style recipes span up to ~40 dB — include "
+                         "high-SNR pairs or the model never learns "
+                         "pass-through behavior on clean input")
     args = ap.parse_args(argv)
 
     os.makedirs(os.path.join(args.out_dir, "clean"), exist_ok=True)
     os.makedirs(os.path.join(args.out_dir, "noisy"), exist_ok=True)
     rng = np.random.default_rng(args.seed)
     for i in range(args.start_index, args.start_index + args.pairs):
-        clean, noisy, snr = make_pair(args.seconds, rng)
+        clean, noisy, snr = make_pair(args.seconds, rng,
+                                      args.snr_min, args.snr_max)
         name = f"fileid_{i}.pcm"
         clean.tofile(os.path.join(args.out_dir, "clean", name))
         noisy.tofile(os.path.join(args.out_dir, "noisy", name))
