@@ -45,6 +45,10 @@ class Loader {
  public:
   Loader(std::vector<std::string> files, int seq_len, int batch,
          int record_dim, int shard_id, int num_shards, uint32_t seed,
+         // queue_cap bounds the FINISHED-batch queue; inserts are ungated
+         // after the pre-claim check, so peak memory is queue_cap +
+         // (n_threads - 1) batches (each batch*seq_len*record_dim floats,
+         // ~110 MB/batch at the recipe shape) — size it accordingly.
          int scale_cols, float scale, int n_threads, int queue_cap)
       : files_(std::move(files)), seq_len_(seq_len), batch_(batch),
         record_dim_(record_dim), seed_(seed), scale_cols_(scale_cols),

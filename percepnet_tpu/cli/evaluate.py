@@ -6,9 +6,10 @@ Usage:
 
 A pairs file has lines `clean.pcm enhanced.pcm`.  Prints per-pair metrics
 and the mean — the evaluation half of the DNS-Challenge quality loop:
-STOI, SI-SDR, SNR, and a P.862-structured `pesq_like` score
-(utils.pesq — NOT validated against ITU conformance vectors; see its
-docstring for the calibration caveat).
+STOI, SI-SDR, SNR, and a P.862-structured `pesq_like_uncal` score
+(utils.pesq — NOT validated against ITU conformance vectors and NOT
+P.862 MOS-LQO; the `_uncal` suffix and the CLI footnote keep it from
+being read as certified MOS.  Use it as a relative measure only).
 """
 
 from __future__ import annotations
@@ -48,7 +49,7 @@ def evaluate_pair(clean_path: str, enhanced_path: str,
         "stoi": round(metrics.stoi(clean, enh), 4),
         "si_sdr_db": round(metrics.si_sdr_db(clean, enh), 2),
         "snr_db": round(metrics.snr_db(clean, enh), 2),
-        "pesq_like": round(pesq_like(clean, enh), 3),
+        "pesq_like_uncal": round(pesq_like(clean, enh), 3),
     }
 
 
@@ -79,9 +80,9 @@ def main(argv=None):
         rows.append(m)
         if not args.json:
             print(f"{enh_p}: stoi {m['stoi']} si_sdr {m['si_sdr_db']} dB "
-                  f"snr {m['snr_db']} dB pesq_like {m['pesq_like']}")
+                  f"snr {m['snr_db']} dB pesq_like* {m['pesq_like_uncal']} (*uncalibrated, not P.862 MOS)")
     summary = {k: round(float(np.nanmean([r[k] for r in rows])), 4)
-               for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")}
+               for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like_uncal")}
     if args.json:
         print(json.dumps({"pairs": rows, "mean": summary}))
     else:

@@ -97,6 +97,13 @@ def main(argv=None):
     ap.add_argument("--num-shards", type=int, default=1)
     ap.add_argument("--batch", type=int, default=16,
                     help="pairs analyzed per jitted pass (no --test only)")
+    ap.add_argument("--augment", action="store_true",
+                    help="random level gain + biquad channel response per "
+                         "pair (the reference's dormant augmentation, "
+                         "denoise.cpp:670-718; see features.augment)")
+    ap.add_argument("--augment-seed", type=int, default=0)
+    ap.add_argument("--augment-highpass", action="store_true",
+                    help="with --augment: also the fixed DC high-pass")
     args = ap.parse_args(argv)
 
     from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
@@ -119,30 +126,41 @@ def main(argv=None):
             ap.error("expected: clean.pcm noisy.pcm count out.f32")
         jobs.append((args.args[0], args.args[1], int(args.args[2]),
                      args.args[3]))
+    # job index BEFORE sharding, so augmentation draws are shard-invariant
+    jobs = [(i,) + j for i, j in enumerate(jobs)]
     jobs = jobs[args.shard_id :: args.num_shards]
+
+    def maybe_augment(idx, clean, noisy):
+        if not args.augment:
+            return clean, noisy
+        from percepnet_tpu.features import augment
+        rng = np.random.default_rng((args.augment_seed, idx))
+        return augment.augment_pair(clean, noisy, rng,
+                                    highpass=args.augment_highpass)
 
     os.makedirs(args.out_dir, exist_ok=True)
     if args.batch > 1 and not args.test and len(jobs) > 1:
         # group equal-count jobs into batched passes (one jit signature
         # per distinct count)
         from itertools import groupby
-        for cnt, group in groupby(sorted(jobs, key=lambda j: j[2]),
-                                  key=lambda j: j[2]):
+        for cnt, group in groupby(sorted(jobs, key=lambda j: j[3]),
+                                  key=lambda j: j[3]):
             group = list(group)
             for i in range(0, len(group), args.batch):
                 chunk = group[i : i + args.batch]
+                pairs = [maybe_augment(idx, read_pcm16(c), read_pcm16(n))
+                         for idx, c, n, _, _ in chunk]
                 recs = generate_batch(
-                    [read_pcm16(c) for c, _, _, _ in chunk],
-                    [read_pcm16(n) for _, n, _, _ in chunk], cnt,
+                    [p[0] for p in pairs], [p[1] for p in pairs], cnt,
                     apply_postfilter=not args.no_postfilter)
-                for rec, (_, _, _, out_p) in zip(recs, chunk):
+                for rec, (_, _, _, _, out_p) in zip(recs, chunk):
                     rec.astype(np.float32).tofile(out_p)
-                print(f"{chunk[0][3]} .. {chunk[-1][3]}: "
+                print(f"{chunk[0][4]} .. {chunk[-1][4]}: "
                       f"{len(chunk)} x {cnt} frames", flush=True)
         return
-    for clean_p, noisy_p, cnt, out_p in jobs:
-        clean = read_pcm16(clean_p)
-        noisy = read_pcm16(noisy_p)
+    for idx, clean_p, noisy_p, cnt, out_p in jobs:
+        clean, noisy = maybe_augment(idx, read_pcm16(clean_p),
+                                     read_pcm16(noisy_p))
         records, test = generate_pair(
             clean, noisy, cnt,
             apply_postfilter=not args.no_postfilter, oracle=args.test)

@@ -37,15 +37,20 @@ def apply_gains(xr, xi, g):
 
 
 def synthesize(xr: jax.Array, xi: jax.Array,
-               synthesis_mem: jax.Array | None = None):
+               synthesis_mem: jax.Array | None = None,
+               serving: bool = False):
     """Windowed inverse DFT + 50% overlap-add (denoise.cpp:352-359).
 
     Args:
       xr, xi: [T, 481] enhanced spectra.
       synthesis_mem: optional [480] carry from a previous chunk.
+      serving: single-pass bf16 inverse-DFT matmul (f32 accumulation) —
+        the bf16 serving tier; parity path (default) stays HIGHEST.
     Returns:
       (pcm [T*480], new_mem [480]).
     """
+    if serving:
+        xr, xi = xr.astype(jnp.bfloat16), xi.astype(jnp.bfloat16)
     x = window.apply_window(dft.inverse_dft(xr, xi))   # [T, 960]
     first, second = x[:, : C.FRAME_SIZE], x[:, C.FRAME_SIZE :]
     if synthesis_mem is None:
@@ -56,16 +61,18 @@ def synthesize(xr: jax.Array, xi: jax.Array,
 
 
 def enhance_spectra(front: dict, g: jax.Array, r: jax.Array,
-                    synthesis_mem: jax.Array | None = None):
+                    synthesis_mem: jax.Array | None = None,
+                    serving: bool = False):
     """Full enhancement: pitch filter -> band gains -> OLA synthesis.
 
     Args:
       front: analyze_utterance output dict (xr, xi, pr, pi, silence).
       g, r: [T, 34] gains and strengths (model output or oracle labels).
+      serving: bf16 single-pass synthesis matmul (see synthesize).
     Returns:
       (pcm [T*480], new_synthesis_mem).
     """
     xr, xi = pitch_filter(front["xr"], front["xi"], front["pr"], front["pi"],
                           r, front["silence"])
     xr, xi = apply_gains(xr, xi, g)
-    return synthesize(xr, xi, synthesis_mem)
+    return synthesize(xr, xi, synthesis_mem, serving=serving)

@@ -67,7 +67,8 @@ def _frame(s_pad: jax.Array, n_frames: int, offset: int, length: int):
     return jnp.take(s_pad, idx, axis=0)
 
 
-def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
+def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
+                  *, serving: bool = False):
     """Analyze a batch of utterances; returns per-frame features and spectra.
 
     Args:
@@ -77,6 +78,13 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
         generation (denoise.cpp:41,697 NORM_RATIO=1).
       state: optional streaming carry with [B]-leading leaves (None = fresh
         DenoiseState zeros).
+      serving: speed tier for the bf16 serving mode: the DFT and pitch
+        xcorr/window-energy contractions run as single-pass bf16 MXU
+        matmuls with f32 accumulation instead of the parity path's
+        HIGHEST (bf16x6).  Feature drift is below the bf16 model's own
+        input quantization; end-to-end quality is gated by
+        tools/quality_gate.py and pitch DECISIONS are audited on-chip by
+        tools/check_tpu.py.  Default False = bit-exact parity frontend.
 
     Returns:
       (out, new_state) where out is a dict of [B, T, ...] arrays:
@@ -110,6 +118,8 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
     # (rows 5:) — a third of the frontend's transform work eliminated.
     n_ext = n_frames + C.FRAME_LOOKAHEAD
     xw = window.apply_window(frame(s_pad, n_ext, _X_OFF, C.WINDOW_SIZE))
+    if serving:
+        xw = xw.astype(jnp.bfloat16)
     xr_ext, xi_ext = dft.forward_dft(xw)
     ex_ext = bands.band_energy(xr_ext, xi_ext)
     xr, xi = xr_ext[:, :n_frames], xi_ext[:, :n_frames]
@@ -119,11 +129,16 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
     # decimate the stream once and frame at half hop: bit-identical to
     # per-frame [1728] buffers, without materializing them
     ds = pitch.downsample_frames_from_stream(s_pad, n_frames, _PITCH_OFF)
-    track = jax.vmap(pitch.pitch_track_ds)(ds, state.period, state.gain)
+    prec = pitch.BF16 if serving else pitch.HIGHEST
+    track = jax.vmap(
+        lambda d, p, g: pitch.pitch_track_ds(d, p, g, precision=prec)
+    )(ds, state.period, state.gain)
     period = track["period"]
 
     # --- comb filter (Pallas kernel on TPU; window fused inside) ----------
     pw = comb.comb_filter_windows_batch(s_pad, period, _X_OFF)
+    if serving:
+        pw = pw.astype(jnp.bfloat16)
     pr, pi = dft.forward_dft(pw)
     ep = bands.band_energy(pr, pi)
     exp_raw = bands.band_corr(xr, xi, pr, pi)
@@ -152,10 +167,11 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None):
     return out, new_state
 
 
-def analyze_utterance(signal: jax.Array, state: FrontendState | None = None):
+def analyze_utterance(signal: jax.Array, state: FrontendState | None = None,
+                      *, serving: bool = False):
     """Single-utterance variant: signal [n_samples] -> dict of [T, ...]."""
     if state is not None:
         state = jax.tree.map(lambda x: x[None], state)
-    out, new_state = analyze_batch(signal[None], state)
+    out, new_state = analyze_batch(signal[None], state, serving=serving)
     return (jax.tree.map(lambda x: x[0], out),
             jax.tree.map(lambda x: x[0], new_state))

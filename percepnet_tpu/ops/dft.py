@@ -54,10 +54,17 @@ def forward_dft(x: jax.Array, *, precision=jax.lax.Precision.HIGHEST):
     measured ~1.8x SLOWER than XLA's fused gather+multiply+giant-matmul —
     the single [B*T, 960] x [960, 1924] contraction gets far better MXU
     utilization than 128-row tiles.  Keep the matmul in XLA's hands.
+
+    Serving tier: pass x as bfloat16 — the table is cast to match and the
+    contraction runs as ONE native MXU pass with f32 accumulation
+    (preferred_element_type), returning f32 spectra.  ~6x the HIGHEST
+    matmul rate; quality-gated end to end by tools/quality_gate.py.
     """
     n = x.shape[-1]
     freq = n // 2 + 1
-    xcs = jnp.matmul(x, jnp.asarray(_fwd_table(n)), precision=precision)
+    table = jnp.asarray(_fwd_table(n)).astype(x.dtype)
+    xcs = jnp.matmul(x, table, precision=precision,
+                     preferred_element_type=jnp.float32)
     return xcs[..., :freq], xcs[..., freq:]
 
 
@@ -75,4 +82,6 @@ def inverse_dft(xr: jax.Array, xi: jax.Array, *,
     freq = xr.shape[-1]
     n = 2 * (freq - 1)
     z = jnp.concatenate([xr, xi], axis=-1)
-    return jnp.matmul(z, jnp.asarray(_inv_table(n)), precision=precision)
+    table = jnp.asarray(_inv_table(n)).astype(z.dtype)
+    return jnp.matmul(z, table, precision=precision,
+                      preferred_element_type=jnp.float32)

@@ -35,6 +35,19 @@ from percepnet_tpu import constants as C
 
 HIGHEST = lax.Precision.HIGHEST
 
+# Serving tier marker: matmul inputs cast to bf16, ONE native MXU pass,
+# f32 accumulation (preferred_element_type).  Used by the bf16 serving
+# frontend; the parity path always runs HIGHEST.
+BF16 = "bf16"
+
+
+def _mm(a: jax.Array, b: jax.Array, precision) -> jax.Array:
+    """Matmul honoring the precision tier (lax.Precision or BF16)."""
+    if precision == BF16:
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.matmul(a, b, precision=precision)
+
 _DS_LEN = C.PITCH_BUF_SIZE // 2          # 864
 _X_OFF = C.PITCH_MAX_PERIOD // 2         # 384
 _X_LEN = _DS_LEN - _X_OFF                # 480
@@ -95,7 +108,8 @@ def _corr_dft_tables(sig_len: int, ker_len: int, out_len: int):
             (w[:, None] * np.sin(iang)).astype(np.float32))
 
 
-def _corr_dft(sig: jax.Array, ker: jax.Array, out_len: int) -> jax.Array:
+def _corr_dft(sig: jax.Array, ker: jax.Array, out_len: int,
+              precision=HIGHEST) -> jax.Array:
     """Frequency-domain _batched_corr: three MXU matmul passes instead of
     the VPU-bound grouped conv (TPU path; ~3x at the full-lag shape).
 
@@ -108,15 +122,14 @@ def _corr_dft(sig: jax.Array, ker: jax.Array, out_len: int) -> jax.Array:
     """
     cs, ss, ck, sk, icc, ics = map(jnp.asarray, _corr_dft_tables(
         sig.shape[-1], ker.shape[-1], out_len))
-    sr = jnp.matmul(sig, cs, precision=HIGHEST)
-    si = jnp.matmul(sig, ss, precision=HIGHEST)
-    kr = jnp.matmul(ker, ck, precision=HIGHEST)
-    ki = jnp.matmul(ker, sk, precision=HIGHEST)
+    sr = _mm(sig, cs, precision)
+    si = _mm(sig, ss, precision)
+    kr = _mm(ker, ck, precision)
+    ki = _mm(ker, sk, precision)
     # with sr/kr = Re(rfft), si/ki = -Im(rfft) (the tables hold +sin):
     pr = kr * sr + ki * si            # Re(conj(K) * S)
     pi = kr * si - ki * sr            # -Im(conj(K) * S)
-    return (jnp.matmul(pr, icc, precision=HIGHEST)
-            + jnp.matmul(pi, ics, precision=HIGHEST))
+    return _mm(pr, icc, precision) + _mm(pi, ics, precision)
 
 
 # --------------------------------------------------------------------------
@@ -260,7 +273,8 @@ def _band_ones(n: int, length: int, n_out: int):
     return m
 
 
-def _window_energy(y: jax.Array, length: int, n_out: int) -> jax.Array:
+def _window_energy(y: jax.Array, length: int, n_out: int,
+                   precision=HIGHEST) -> jax.Array:
     """W[b, j] = sum_{i<length} y[b, j+i]^2 for j < n_out.
 
     CPU: cumsum-difference — its reduction order is what the strict parity
@@ -273,7 +287,7 @@ def _window_energy(y: jax.Array, length: int, n_out: int) -> jax.Array:
     """
     if jax.default_backend() == "tpu":
         band = jnp.asarray(_band_ones(y.shape[-1], length, n_out))
-        return jnp.matmul(y * y, band, precision=HIGHEST)
+        return _mm(y * y, band, precision)
     y2 = y * y
     c = jnp.cumsum(y2, axis=-1)
     c = jnp.concatenate([jnp.zeros_like(c[..., :1]), c], axis=-1)
@@ -322,7 +336,7 @@ def _find_best_pitch(xcorr: jax.Array, y: jax.Array, length: int,
 # pitch_search (pitch.cpp:283-386)
 # --------------------------------------------------------------------------
 
-def full_xcorr(ds: jax.Array) -> jax.Array:
+def full_xcorr(ds: jax.Array, precision=HIGHEST) -> jax.Array:
     """xc_all[b, L] = sum_{j<480} ds[b, 384+j] * ds[b, 384-L+j], L <= 384.
 
     One batched correlation whose reversed output doubles as the
@@ -333,13 +347,15 @@ def full_xcorr(ds: jax.Array) -> jax.Array:
     goldens were validated against).  TPU: frequency-domain matmuls on
     the MXU (see _corr_dft; decision parity audited on-chip).
     """
-    corr = _corr_dft if jax.default_backend() == "tpu" else _batched_corr
-    rev = corr(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1)
+    if jax.default_backend() == "tpu":
+        rev = _corr_dft(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1, precision)
+    else:
+        rev = _batched_corr(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1)
     return rev[..., ::-1]
 
 
 def pitch_search(ds: jax.Array, xc_all: jax.Array,
-                 w: jax.Array | None = None):
+                 w: jax.Array | None = None, precision=HIGHEST):
     """Coarse->fine pitch search on the whitened half-rate signal.
 
     Args:
@@ -354,8 +370,10 @@ def pitch_search(ds: jax.Array, xc_all: jax.Array,
     x4 = ds[..., _X_OFF::2][..., : _X_LEN // 2]        # 240
     lag4 = (C.PITCH_FRAME_SIZE + _MAX_PITCH) >> 2      # 387
     y4 = ds[..., 0 : 2 * lag4 : 2]                     # 387
-    corr = _corr_dft if jax.default_backend() == "tpu" else _batched_corr
-    xcorr4 = corr(y4, x4, _COARSE_LAGS)
+    if jax.default_backend() == "tpu":
+        xcorr4 = _corr_dft(y4, x4, _COARSE_LAGS, precision)
+    else:
+        xcorr4 = _batched_corr(y4, x4, _COARSE_LAGS)
     b0c, b1c = _find_best_pitch(xcorr4, y4, _X_LEN // 2)
 
     # --- fine, 2x domain: only lags within +/-2 of 2*coarse candidates ---
@@ -388,13 +406,13 @@ def pitch_search(ds: jax.Array, xc_all: jax.Array,
 # remove_doubling (pitch.cpp:424-527)
 # --------------------------------------------------------------------------
 
-def forward_window_energies(ds: jax.Array) -> jax.Array:
+def forward_window_energies(ds: jax.Array, precision=HIGHEST) -> jax.Array:
     """W[b, j] = sum_{i<480} ds[b, j+i]^2 for j <= 384.
 
     Shared between the yy lookup (reversed index) and the fine-search
     sliding energies (direct index) — one matmul serves both.
     """
-    return _window_energy(ds, _X_LEN, _MAX_PERIOD_H + 1)
+    return _window_energy(ds, _X_LEN, _MAX_PERIOD_H + 1, precision)
 
 
 def yy_lookup_table(ds: jax.Array,
@@ -492,7 +510,7 @@ def remove_doubling_precompute(xc_all: jax.Array, yy_look: jax.Array,
     pg = jnp.where(cand_yy <= best_xy, 1.0, best_xy / (cand_yy + 1.0))
     pg = jnp.minimum(pg, cand_g)
 
-    return {"t1": t1, "valid": valid, "g0": g0, "g1": g1,
+    return {"t0": t0, "t1": t1, "valid": valid, "g0": g0, "g1": g1,
             "cand_period": cand_period, "cand_gain": pg}
 
 
@@ -547,19 +565,23 @@ def pitch_track(pitch_bufs: jax.Array,
                           init_period, init_gain)
 
 
-@partial(jax.jit, static_argnames=())
+@partial(jax.jit, static_argnames=("precision",))
 def pitch_track_ds(ds: jax.Array,
                    init_period: jax.Array | None = None,
-                   init_gain: jax.Array | None = None):
+                   init_gain: jax.Array | None = None,
+                   precision=HIGHEST):
     """pitch_track given precomputed [T, 864] decimated+whitened frames
-    (see downsample_frames_from_stream)."""
-    xc = full_xcorr(ds)
-    w = forward_window_energies(ds)
+    (see downsample_frames_from_stream).
+
+    precision: matmul tier for the xcorr / window-energy contractions —
+    HIGHEST on the parity path; the bf16 serving frontend passes BF16
+    (decision flips audited on-chip by tools/check_tpu.py)."""
+    xc = full_xcorr(ds, precision)
+    w = forward_window_energies(ds, precision)
     yy = yy_lookup_table(ds, w)
-    t0, corr = pitch_search(ds, xc, w)
+    t0, corr = pitch_search(ds, xc, w, precision)
 
     pre = remove_doubling_precompute(xc, yy, t0)
-    pre["t0"] = jnp.minimum(t0 // 2, _MAX_PERIOD_H - 1)
 
     p0 = jnp.asarray(0 if init_period is None else init_period, jnp.int32)
     g0 = jnp.asarray(0.0 if init_gain is None else init_gain, jnp.float32)

@@ -66,6 +66,10 @@ def enhance_chunk(params: percepnet.PercepNetParams,
       model_kw: forwarded to percepnet.forward (e.g. compat activations,
         or compute_dtype=jnp.bfloat16 for the bf16 serving mode — pair it
         with init_pipeline_state(batch, model_dtype=jnp.bfloat16)).
+        compute_dtype=bfloat16 also selects the serving frontend tier:
+        single-pass bf16 MXU matmuls for the DFTs and pitch correlations
+        (features.frontend.analyze_batch(serving=True)) instead of the
+        parity path's HIGHEST — quality-gated by tools/quality_gate.py.
 
     Returns:
       (pcm [B, n_samples], new_state) — plus (g, r) [B, T, 34] each when
@@ -74,12 +78,15 @@ def enhance_chunk(params: percepnet.PercepNetParams,
       a fresh stream are therefore silence-of-zeros, and the caller must
       keep feeding (or flush) to drain the lookahead.
     """
-    front, fstate = frontend.analyze_batch(signal, state.front)
+    serving = model_kw.get("compute_dtype") is not None
+    front, fstate = frontend.analyze_batch(signal, state.front,
+                                           serving=serving)
     g, r, mstate = percepnet.forward(
         params, front["features"], state.model, **model_kw)
 
     def one(front_b, g_b, r_b, mem_b):
-        return enhance.enhance_spectra(front_b, g_b, r_b, mem_b)
+        return enhance.enhance_spectra(front_b, g_b, r_b, mem_b,
+                                       serving=serving)
     pcm, mem = jax.vmap(one)(front, g, r, state.synthesis_mem)
     new_state = PipelineState(fstate, mstate, mem)
     if return_gr:

@@ -183,8 +183,27 @@ class Trainer:
         path = path or ckpt.latest_checkpoint(self.config.out_dir)
         if not path:
             return False
-        self.state = pm.replicate(
-            self.mesh, ckpt.load_checkpoint(path, jax.device_get(self.state)))
+        template = jax.device_get(self.state)
+        try:
+            restored = ckpt.load_checkpoint(path, template)
+        except KeyError as e:
+            # The opt_state pytree layout depends on the optimizer config
+            # (e.g. the apply_if_finite wrapper added keys like
+            # 'opt_state/.../notfinite_count'); a checkpoint written under a
+            # different config would otherwise fail with a raw KeyError.
+            # Degrade gracefully: keep params + step, restart the optimizer.
+            log.warning(
+                "checkpoint %s has a different opt_state layout than the "
+                "current optimizer config (missing %s) — restoring params "
+                "and step, REINITIALIZING optimizer state (Adam moments "
+                "restart; brief loss bump possible)", path, e)
+            params = ckpt.load_params_from_checkpoint(path, template.params)
+            with np.load(path) as z:
+                step = np.asarray(z["step"])
+            restored = ts.TrainState(
+                params, jax.device_get(self.tx.init(params)),
+                step.astype(np.int32))
+        self.state = pm.replicate(self.mesh, restored)
         log.info("restored %s (step %d)", path, int(self.state.step))
         return True
 
@@ -246,13 +265,18 @@ class Trainer:
         # stuck device op cannot be cancelled in-process, so the watchdog
         # hard-exits; a supervisor loop restarts the job and it resumes
         # exactly from the last interval checkpoint.
-        heartbeat = {"t": time.time()}
+        # Armed only once the first step COMPLETES (heartbeat stays None
+        # until then): a cold-cache first-step compile takes minutes
+        # through the remote-TPU tunnel and must not trip the watchdog.
+        heartbeat = {"t": None}
         if cfg.watchdog_secs:
             import threading
 
             def _watch():
                 while not stop["now"]:
                     time.sleep(min(cfg.watchdog_secs / 4, 30.0))
+                    if heartbeat["t"] is None:
+                        continue
                     stale = time.time() - heartbeat["t"]
                     if stale > cfg.watchdog_secs:
                         log.error(
@@ -277,8 +301,10 @@ class Trainer:
                 # dispatches — a wedged device happily accepts hundreds of
                 # async steps (observed) and would keep a dispatch-side
                 # heartbeat fresh.  The periodic sync also bounds how far
-                # the loop runs ahead.
-                if step % min(50, cfg.log_interval_steps) == 0:
+                # the loop runs ahead.  Step 1 syncs unconditionally: it
+                # arms the watchdog only after compile+first step finish.
+                if (step == steps0 + 1
+                        or step % min(50, cfg.log_interval_steps) == 0):
                     jax.block_until_ready(loss)
                     heartbeat["t"] = time.time()
                 if step % cfg.log_interval_steps == 0:

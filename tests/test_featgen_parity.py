@@ -97,3 +97,49 @@ def test_zero_input_is_silent():
     out, _ = analyze_utterance(jnp.zeros(4800, jnp.float32))
     assert bool(np.all(np.asarray(out["silence"])))
     assert bool(np.all(np.isfinite(np.asarray(out["features"]))))
+
+
+def test_augmented_records_in_distribution(featgen_goldens):
+    """The reference's dormant augmentation (denoise.cpp:670-718), ported
+    as features.augment: augmented pairs must still produce valid training
+    records — finite everywhere, g/r in [0, 1]."""
+    from percepnet_tpu.cli.featgen import generate_pair
+    from percepnet_tpu.features import augment
+
+    g = featgen_goldens
+    clean = g["clean16"].astype(np.float32)
+    noisy = g["noisy16"].astype(np.float32)
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        ca, na = augment.augment_pair(clean, noisy, rng,
+                                      highpass=(trial == 2))
+        assert ca.shape == clean.shape and na.shape == noisy.shape
+        # raw labels must stay in [0, 1]; the post-filtered variant (the
+        # reference's dump, whose compensation can exceed 1) just finite
+        rec, _ = generate_pair(ca, na, 50, apply_postfilter=False)
+        rec_pf, _ = generate_pair(ca, na, 50)
+        assert np.isfinite(rec).all() and np.isfinite(rec_pf).all()
+        gg, rr = rec[:, 70:104], rec[:, 104:138]
+        assert gg.min() >= 0.0 and gg.max() <= 1.0
+        assert rr.min() >= 0.0 and rr.max() <= 1.0
+    # determinism: the same seed redraws the same augmentation
+    a1 = augment.augment_pair(clean, noisy, np.random.default_rng(7))
+    a2 = augment.augment_pair(clean, noisy, np.random.default_rng(7))
+    np.testing.assert_array_equal(a1[0], a2[0])
+
+
+def test_biquad_matches_reference_recurrence():
+    """augment.biquad (scipy path) == the C recurrence (denoise.cpp:361-370)."""
+    from percepnet_tpu.features import augment
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(256).astype(np.float32) * 1000
+    a, b = augment.rand_resp(rng)
+    y = augment.biquad(x, b, a)
+    m0 = m1 = 0.0
+    ref = np.empty_like(x)
+    for i in range(len(x)):
+        yi = float(x[i]) + m0
+        m0 = m1 + (b[0] * float(x[i]) - a[0] * yi)
+        m1 = b[1] * float(x[i]) - a[1] * yi
+        ref[i] = yi
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)

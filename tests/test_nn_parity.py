@@ -39,15 +39,20 @@ def nn_run(featgen_goldens):
 # 1e-5/1e-4).  On TPU, bf16x6 matmuls and different tiling perturb each GRU
 # step by ~1e-7..1e-5 and the recurrence amplifies that to a saturated
 # ~1e-3 in g/r by frame ~20 (measured on identical reference-dumped
-# features).  The in-suite bounds below are kept at the TPU-drift level so
-# the suite is meaningful on any backend.
+# features).  The bounds are therefore BACKEND-CONDITIONAL: the strict
+# gate is asserted in-suite whenever the suite runs on CPU (the hermetic
+# test mesh), so a parity regression cannot hide behind the TPU bound.
+
+_ON_CPU = jax.default_backend() == "cpu"
+_GR_ATOL = 1e-5 if _ON_CPU else 3e-3
+_PCM_ATOL = 1e-4 if _ON_CPU else 5e-4
 
 
 def test_gains_strengths_match_c(nn_run):
     nn, _, g, r = nn_run
     gr = nn["gr"]
-    np.testing.assert_allclose(np.asarray(g), gr[:, :34], atol=3e-3)
-    np.testing.assert_allclose(np.asarray(r), gr[:, 34:], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(g), gr[:, :34], atol=_GR_ATOL)
+    np.testing.assert_allclose(np.asarray(r), gr[:, 34:], atol=_GR_ATOL)
 
 
 def test_enhanced_pcm_matches_c(nn_run):
@@ -58,4 +63,4 @@ def test_enhanced_pcm_matches_c(nn_run):
     # the reference drops its first output frame (main.cpp:37)
     ours = ours[480 : 480 + len(ref)]
     err = np.abs(ours - ref) / 32768.0
-    assert err.max() < 5e-4, f"max normalized PCM err {err.max():.3g}"
+    assert err.max() < _PCM_ATOL, f"max normalized PCM err {err.max():.3g}"

@@ -143,6 +143,42 @@ def test_trainer_loop_and_observability(tmp_path):
     assert int(jax.device_get(tr2.state.step)) == 3
 
 
+def test_trainer_restore_across_optimizer_layout_change(tmp_path):
+    """A checkpoint whose opt_state pytree doesn't match the current
+    optimizer config (e.g. saved before the apply_if_finite wrapper) must
+    still restore params+step, reinitializing the optimizer state, instead
+    of dying with a raw KeyError."""
+    from percepnet_tpu.train import state as ts
+    from percepnet_tpu.train.trainer import Trainer, TrainConfig
+
+    rng = np.random.default_rng(9)
+    rec = rng.uniform(0.05, 0.95, (2, 6, 138)).astype(np.float32)
+
+    def it():
+        while True:
+            yield rec
+
+    # save a checkpoint under a DIFFERENT opt_state layout (no
+    # apply_if_finite wrapper -> no notfinite_count keys)
+    tx_old = ts.make_optimizer(1e-4, skip_nonfinite=False)
+    old = ts.init_train_state(jax.random.PRNGKey(0), tx_old)
+    old = old._replace(step=jnp.asarray(7, jnp.int32))
+    ckpt.save_checkpoint(str(tmp_path / "checkpoint-7.npz"),
+                         jax.device_get(old))
+
+    cfg = TrainConfig(batch_size=2, seq_len=6, train_max_steps=8,
+                      log_interval_steps=100, eval_interval_steps=100,
+                      save_interval_steps=100, out_dir=str(tmp_path))
+    tr = Trainer(cfg, it(), tensorboard=False)
+    assert tr.restore()
+    assert int(jax.device_get(tr.state.step)) == 7
+    for a, b in zip(jax.tree.leaves(jax.device_get(tr.state.params)),
+                    jax.tree.leaves(jax.device_get(old.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    tr.run()  # training continues from step 7
+    assert int(jax.device_get(tr.state.step)) == 8
+
+
 def test_h5_datasets(tmp_path):
     """H5Dataset (window slicing, no x30 — the reference quirk) and
     H5DirDataset."""

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""One-command regression gate: parity + quality + deployment round trip.
+
+The individual gates are standalone tools a human can run; this wrapper
+makes "did anything regress?" a single exit code, so the C++ export loop,
+the bf16 serving quality, and the strict parity bounds cannot silently
+rot (they are not covered by the pytest suite, which runs random weights
+on a hermetic CPU mesh).
+
+Stages (each skippable via --skip):
+  parity     tools/check_parity.py      strict 1e-4 gates vs C++ goldens (CPU)
+  quality    tools/quality_gate.py      enhancement beats noisy baseline AND
+                                        bf16 deltas bounded (|dSTOI|<=.005,
+                                        |dSI-SDR|<=.3 dB), trained checkpoint
+  roundtrip  tools/roundtrip_check.py   checkpoint -> nnet_data.cpp -> compiled
+                                        percepNet_run == our pipeline
+  tpu        tools/check_tpu.py         Pallas kernels + on-chip decision
+                                        audits (only if the backend is a TPU)
+
+Usage:
+  python tools/check_all.py [--weights work/dns/exp8k/checkpoint-12000.npz]
+                            [--limit 8] [--skip tpu,roundtrip]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def latest_checkpoint(d: str) -> str | None:
+    sys.path.insert(0, ROOT)
+    from percepnet_tpu.train.checkpoint import latest_checkpoint as latest
+    return latest(d)
+
+
+def run_stage(name: str, cmd: list[str]) -> dict:
+    t0 = time.time()
+    print(f"=== {name}: {' '.join(cmd)}", flush=True)
+    p = subprocess.run(cmd, cwd=ROOT)
+    return {"stage": name, "ok": p.returncode == 0,
+            "secs": round(time.time() - t0, 1)}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--weights",
+                    help="trained checkpoint for quality/roundtrip stages "
+                         "(default: newest in work/dns/exp8k)")
+    ap.add_argument("--clean-dir", default="work/dns/clean")
+    ap.add_argument("--noisy-dir", default="work/dns/noisy")
+    ap.add_argument("--dev-filelist", default="work/dns/lists/dev_filelist.txt")
+    ap.add_argument("--limit", type=int, default=8,
+                    help="held-out pairs for the quality stage")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated stages to skip "
+                         "(parity,quality,roundtrip,tpu)")
+    args = ap.parse_args(argv)
+    skip = {s.strip() for s in args.skip.split(",") if s.strip()}
+
+    weights = args.weights or latest_checkpoint(
+        os.path.join(ROOT, "work", "dns", "exp8k"))
+    py = sys.executable
+
+    results = []
+    if "parity" not in skip:
+        results.append(run_stage(
+            "parity", [py, "tools/check_parity.py"]))
+    have_data = weights and os.path.isdir(os.path.join(ROOT, args.noisy_dir))
+    if "quality" not in skip and have_data:
+        cmd = [py, "tools/quality_gate.py", "--weights", weights,
+               "--clean-dir", args.clean_dir, "--noisy-dir", args.noisy_dir,
+               "--limit", str(args.limit)]
+        if os.path.exists(os.path.join(ROOT, args.dev_filelist)):
+            cmd += ["--dev-filelist", args.dev_filelist]
+        results.append(run_stage("quality", cmd))
+    if "roundtrip" not in skip and have_data:
+        noisy = sorted(os.listdir(os.path.join(ROOT, args.noisy_dir)))[0]
+        results.append(run_stage(
+            "roundtrip",
+            [py, "tools/roundtrip_check.py", "--weights", weights,
+             "--noisy", os.path.join(args.noisy_dir, noisy)]))
+    if "tpu" not in skip:
+        import jax
+        if jax.default_backend() == "tpu":
+            results.append(run_stage("tpu", [py, "tools/check_tpu.py"]))
+        else:
+            print("=== tpu: skipped (no TPU backend)", flush=True)
+
+    ok = all(r["ok"] for r in results)
+    print(json.dumps({"ok": ok, "weights": weights, "stages": results}))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,7 +73,7 @@ def main(argv=None):
                       raw_scale=True)
         rows = [evaluate_pair(c, o) for c, o in zip(cleans, outs)]
         mean = {k: round(float(np.mean([r[k] for r in rows])), 4)
-                for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")}
+                for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like_uncal")}
         return mean, rows
 
     baseline = [evaluate_pair(c, n, align=False)
@@ -83,7 +83,7 @@ def main(argv=None):
         "pairs": len(names),
         "noisy_baseline": {
             k: round(float(np.mean([r[k] for r in baseline])), 4)
-            for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like")},
+            for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like_uncal")},
         "f32": f32_mean,
         "per_pair": [
             {"name": nm,

@@ -9,9 +9,20 @@ runtime, and the C++ runtime's output must match our pipeline (compat
 activation tables) within the 1e-4 normalized-PCM parity gate.
 
 Usage:
-  JAX_PLATFORMS=cpu python tools/roundtrip_check.py \
+  python tools/roundtrip_check.py \
       --weights work/dns/exp/checkpoint-12000.npz \
       --noisy work/dns/noisy/fileid_300.pcm [--build /tmp/roundtrip]
+      [--cpu] [--curve]
+
+(JAX_PLATFORMS=cpu does NOT select CPU here — the axon shim rewrites it
+at import; use --cpu, which calls jax.config.update before backend init.)
+
+--curve additionally tabulates the error growth per second AND runs the
+inherent-divergence control: our own pipeline on the same clip with the
+input perturbed by one int16 LSB.  If the self-divergence of a single
+runtime grows at the same rate as the cross-runtime error, the drift is a
+property of the trained recurrence (sensitive dependence), not of any
+fixable implementation difference.
 
 Prints one JSON line; exits non-zero if the gate fails.
 """
@@ -43,7 +54,17 @@ def main(argv=None):
     ap.add_argument("--build", default="/tmp/roundtrip")
     ap.add_argument("--seconds", type=float, default=10.0,
                     help="clip length fed through both runtimes")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the strict-parity "
+                         "configuration)")
+    ap.add_argument("--curve", action="store_true",
+                    help="also tabulate error-vs-time and the one-ulp "
+                         "self-divergence control")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     os.makedirs(args.build, exist_ok=True)
 
@@ -101,6 +122,33 @@ def main(argv=None):
     report["gate_ok"] = bool(report["mean_norm_err"] < 1e-4
                              and report["max_norm_err"] < 5e-3
                              and report["diff_to_signal_db"] < -35.0)
+
+    if args.curve:
+        # error growth per second, cross-runtime
+        def per_second(e):
+            secs = len(e) // 48_000
+            return [round(float(e[s * 48_000 : (s + 1) * 48_000].max()), 6)
+                    for s in range(secs)]
+
+        report["err_per_s_cross_runtime"] = per_second(err)
+
+        # inherent-divergence control: SAME runtime, input perturbed by one
+        # int16 LSB on the first sample.  Divergence growing at the
+        # cross-runtime rate proves the drift comes from the trained
+        # recurrence's sensitivity, not from a fixable runtime difference.
+        pert = clip.astype(np.float32).copy()
+        pert[0] += 1.0
+        noisy_p = os.path.join(args.build, "noisy_pert.pcm")
+        write_pcm16(noisy_p, pert)
+        ours_p = os.path.join(args.build, "ours_pert.pcm")
+        enhance_files(params, [noisy_p], [ours_p], compat=True)
+        a = np.fromfile(ours_out, "<i2").astype(np.float32)
+        b = np.fromfile(ours_p, "<i2").astype(np.float32)
+        m = min(len(a), len(b))
+        self_err = np.abs(a[:m] - b[:m]) / 32768.0
+        report["err_per_s_one_ulp_self"] = per_second(self_err)
+        report["self_divergence_max"] = float(self_err.max())
+
     print(json.dumps(report))
     return 0 if report["gate_ok"] else 1
 
