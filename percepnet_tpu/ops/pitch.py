@@ -485,13 +485,18 @@ def remove_doubling_precompute(xc_all: jax.Array, yy_look: jax.Array,
     q = jnp.arange(_MAX_PERIOD_H + 1, dtype=jnp.int32)
     period_all = jnp.maximum(2 * q + off_all, C.PITCH_MIN_PERIOD)
 
-    # ONE batched lookup per source array: xc needs [t0|t1|t1b] = 29
-    # indices, yy 29, period_all 15.
+    # ONE one-hot mask serves all three lookups: xc and yy share the same
+    # [t0|t1|t1b] = 29 indices, and period_all's 15 indices are exactly the
+    # mask's first 15 rows — building the [..., 29, 385] compare mask once
+    # instead of three times is the dominant cost of this stage.
     t_idx = jnp.concatenate([cand_t, t1b], axis=-1)
-    xc_v = _onehot_take(xc_all, t_idx)
-    yy_v = _onehot_take(yy_look, t_idx)
-    cand_period = _onehot_take(period_all.astype(jnp.float32),
-                               cand_t).astype(jnp.int32)
+    mask = t_idx[..., :, None] == jnp.arange(_MAX_PERIOD_H + 1,
+                                             dtype=jnp.int32)
+    xc_v = jnp.sum(jnp.where(mask, xc_all[..., None, :], 0.0), axis=-1)
+    yy_v = jnp.sum(jnp.where(mask, yy_look[..., None, :], 0.0), axis=-1)
+    cand_period = jnp.sum(
+        jnp.where(mask[..., :15, :], period_all[..., None, :], 0), axis=-1
+    ).astype(jnp.int32)
 
     xy0, xc_t1, xc_t1b = xc_v[..., 0], xc_v[..., 1:15], xc_v[..., 15:29]
     yy0, yy_t1, yy_t1b = yy_v[..., 0], yy_v[..., 1:15], yy_v[..., 15:29]

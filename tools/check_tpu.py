@@ -120,6 +120,26 @@ def main():
     assert flips <= max(2, n_frames // 50), (
         f"{flips} pitch-period flips on TPU — beyond borderline levels")
     assert drift.max() < 0.05, float(drift.max())
+
+    # 7. serving-tier (bf16 frontend) pitch-decision audit: the single-pass
+    # bf16 xcorr/window-energy matmuls must stay overwhelmingly
+    # decision-identical to the parity frontend on the same golden set
+    out_srv, _ = analyze_utterance(noisy, serving=True)
+    p_srv = np.round(np.asarray(out_srv["features"][:, 68]) * 588)
+    flips_srv = int(np.sum(p_srv != ref_periods))
+    feat_srv = np.asarray(out_srv["features"])
+    drift_srv = np.abs(feat_srv - ref_feat) / np.maximum(
+        np.abs(ref_feat), 1e-3)
+    print(f"7. serving-tier pitch periods: {n_frames - flips_srv}/"
+          f"{n_frames} match the C binary; max feature rel-drift "
+          f"{drift_srv.max():.2g}")
+    # bf16 correlations flip more borderline frames than the f32 tier;
+    # the serving bound is looser but still requires >=95% identical
+    # decisions (gross lag errors would show up as wholesale flips)
+    assert flips_srv <= max(4, n_frames // 20), (
+        f"{flips_srv} pitch-period flips in serving tier")
+    # band-energy features in bf16: ~0.4% relative is the expected level
+    assert np.median(drift_srv) < 0.02, float(np.median(drift_srv))
     print("TPU CHECKS OK")
 
 

@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--frames", type=int, default=200)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--serving", action="store_true",
+                    help="profile the bf16 serving tier of each frontend "
+                         "stage (single-pass MXU matmuls) instead of the "
+                         "HIGHEST parity tier")
     args = ap.parse_args(argv)
 
     from percepnet_tpu import constants as C
@@ -55,6 +59,9 @@ def main(argv=None):
     s_pad = jnp.concatenate([st.front.tail, sig], axis=-1)
     frame = jax.vmap(frontend._frame, in_axes=(0, None, None, None))
 
+    serving = args.serving
+    prec = pitch.BF16 if serving else pitch.HIGHEST
+
     def report(name, secs):
         print(f"{name:12s} {secs * 1e3:8.1f} ms", flush=True)
 
@@ -62,6 +69,8 @@ def main(argv=None):
         xw = window.apply_window(
             frame(s_pad, T + C.FRAME_LOOKAHEAD, frontend._X_OFF,
                   C.WINDOW_SIZE))
+        if serving:
+            xw = xw.astype(jnp.bfloat16)
         xr, xi = dft.forward_dft(xw)
         return xr, xi, bands.band_energy(xr, xi)
 
@@ -70,17 +79,42 @@ def main(argv=None):
     def f_pitch(s_pad):
         ds = pitch.downsample_frames_from_stream(s_pad, T,
                                                  frontend._PITCH_OFF)
-        tr = jax.vmap(pitch.pitch_track_ds)(
+        tr = jax.vmap(lambda d, p, g: pitch.pitch_track_ds(
+            d, p, g, precision=prec))(
             ds, jnp.zeros((B,), jnp.int32), jnp.zeros((B,), jnp.float32))
         return tr["period"], tr["gain"], tr["corr"]
 
     report("pitch", chained_time(f_pitch, s_pad, iters=args.iters))
+
+    # pitch sub-stages (serving-relevant ranking)
+    ds0 = jax.jit(lambda s: pitch.downsample_frames_from_stream(
+        s, T, frontend._PITCH_OFF))(s_pad)
+    report("  downsample", chained_time(
+        lambda s: pitch.downsample_frames_from_stream(
+            s, T, frontend._PITCH_OFF), s_pad, iters=args.iters))
+    report("  xcorr", chained_time(
+        lambda d: pitch.full_xcorr(d, prec), ds0, iters=args.iters))
+    report("  wenergy", chained_time(
+        lambda d: pitch.forward_window_energies(d, prec), ds0,
+        iters=args.iters))
+
+    def f_decide(d):
+        xc = pitch.full_xcorr(d, prec)
+        w = pitch.forward_window_energies(d, prec)
+        yy = pitch.yy_lookup_table(d, w)
+        t0, corr = pitch.pitch_search(d, xc, w, prec)
+        pre = pitch.remove_doubling_precompute(xc, yy, t0)
+        return pre["cand_gain"], pre["cand_period"], corr
+
+    report("  decide", chained_time(f_decide, ds0, iters=args.iters))
 
     xr, xi, ex = jax.jit(f_spectra)(s_pad)
     period = jax.jit(lambda s: f_pitch(s)[0])(s_pad)
 
     def f_comb(s_pad, period, xr, xi, ex):
         pw = comb.comb_filter_windows_batch(s_pad, period, frontend._X_OFF)
+        if serving:
+            pw = pw.astype(jnp.bfloat16)
         pr, pi = dft.forward_dft(pw)
         ep = bands.band_energy(pr, pi)
         exp_raw = bands.band_corr(xr[:, :T], xi[:, :T], pr, pi)

@@ -42,6 +42,11 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=16)
     ap.add_argument("--out-dir", help="keep enhanced PCM here")
     ap.add_argument("--skip-bf16", action="store_true")
+    ap.add_argument("--order", choices=("snr", "list"), default="snr",
+                    help="'snr' (default) evaluates the LOWEST-baseline-SNR "
+                         "pairs of the dev set — the enhancement-improves "
+                         "criterion is only meaningful where there is noise "
+                         "to remove; 'list' keeps the filelist order")
     args = ap.parse_args(argv)
 
     if args.dev_filelist:
@@ -51,6 +56,16 @@ def main(argv=None):
     else:
         names = [os.path.splitext(n)[0]
                  for n in sorted(os.listdir(args.noisy_dir))]
+    if args.order == "snr":
+        def baseline_snr(n):
+            c = np.fromfile(os.path.join(args.clean_dir, n + ".pcm"),
+                            "<i2").astype(np.float32)
+            y = np.fromfile(os.path.join(args.noisy_dir, n + ".pcm"),
+                            "<i2").astype(np.float32)
+            m = min(len(c), len(y))
+            den = float(np.sum((y[:m] - c[:m]) ** 2)) + 1e-9
+            return 10.0 * np.log10(float(np.sum(c[:m] ** 2)) / den + 1e-12)
+        names = sorted(names, key=baseline_snr)
     names = names[: args.limit]
     cleans = [os.path.join(args.clean_dir, n + ".pcm") for n in names]
     noisys = [os.path.join(args.noisy_dir, n + ".pcm") for n in names]

@@ -84,8 +84,14 @@ def main(argv=None):
          nnet_cpp, "-o", os.path.join(args.build, "percepNet_run")],
         check=True)
 
-    # 3. run it on the clip
-    clip = read_pcm16(args.noisy)[: int(args.seconds * 48_000)]
+    # 3. run it on the clip (tiled if shorter than the requested length,
+    # so long-horizon drift curves don't need long source files)
+    clip = read_pcm16(args.noisy)
+    need = int(args.seconds * 48_000)
+    if len(clip) < need:
+        import math
+        clip = np.tile(clip, math.ceil(need / len(clip)))
+    clip = clip[:need]
     noisy = os.path.join(args.build, "noisy.pcm")
     write_pcm16(noisy, clip)
     c_out = os.path.join(args.build, "c_out.pcm")
