@@ -130,6 +130,7 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
 
 def enhance_streaming(params, in_path, out_path, *,
                       drop_first_frame: bool = True, compat: bool = False,
+                      model_dtype=None, raw_scale: bool = False,
                       report_latency: bool = False):
     """Frame-by-frame streaming enhancement (10 ms hop), like the
     reference binary's loop (main.cpp:30-39): one jitted step per frame
@@ -149,10 +150,14 @@ def enhance_streaming(params, in_path, out_path, *,
         from percepnet_tpu.ops.activations import sigmoid_approx, \
             tansig_approx
         kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
+    if model_dtype is not None:
+        # bf16 serving tier (model + frontend), same as batch mode; cuts
+        # the per-frame step latency on the MXU
+        kw["compute_dtype"] = model_dtype
 
     step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
                    donate_argnums=(2,))
-    signal = read_pcm16(in_path, normalize=True)
+    signal = read_pcm16(in_path, normalize=not raw_scale)
     n_frames = len(signal) // C.FRAME_SIZE
     state = pipeline.init_pipeline_state(1)
     # warm up compile on a dummy frame-shaped input
@@ -173,7 +178,7 @@ def enhance_streaming(params, in_path, out_path, *,
     y = np.concatenate([np.asarray(o[0]) for o in outs])
     skip = C.FRAME_SIZE if drop_first_frame else 0
     write_pcm16(out_path, y[skip : skip + n_frames * C.FRAME_SIZE - skip],
-                scale=32768.0)
+                scale=1.0 if raw_scale else 32768.0)
     if report_latency:
         # steady-state per-step wall time (compute + dispatch), measured
         # without per-frame host transfers
@@ -243,17 +248,18 @@ def main(argv=None):
             gr_paths = [args.dump_gr]
 
     params = load_params(args.weights)
+    model_dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+        model_dtype = jnp.bfloat16
     if args.streaming:
         for i, o in zip(ins, outs):
             enhance_streaming(params, i, o,
                               drop_first_frame=not args.keep_first_frame,
-                              compat=args.compat,
+                              compat=args.compat, model_dtype=model_dtype,
+                              raw_scale=args.raw_scale,
                               report_latency=args.report_latency)
     else:
-        model_dtype = None
-        if args.bf16:
-            import jax.numpy as jnp
-            model_dtype = jnp.bfloat16
         enhance_files(params, ins, outs, batch_frames=args.batch_frames,
                       drop_first_frame=not args.keep_first_frame,
                       compat=args.compat, dump_gr_paths=gr_paths,

@@ -76,3 +76,35 @@ def test_state_batch_independence():
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(st_b.model.h3[1]),
                                np.asarray(st_s.model.h3[0]), atol=2e-3)
+
+
+def test_streaming_cli_bf16_raw_scale(tmp_path):
+    """cli.enhance.enhance_streaming with the bf16 serving tier and raw
+    int16 scale: one frame per donated jitted step, output file well
+    formed and close to the batch bf16 path on the same clip."""
+    from percepnet_tpu.cli import enhance as cli
+    from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
+
+    params = _params()
+    n = 8 * C.FRAME_SIZE
+    t = np.arange(n) / 48000.0
+    sig = (3000.0 * np.sin(2 * np.pi * 220 * t)
+           + 300.0 * np.random.default_rng(0).standard_normal(n)
+           ).astype(np.float32)
+    noisy = tmp_path / "noisy.pcm"
+    write_pcm16(str(noisy), sig, scale=1.0)
+
+    out_s = tmp_path / "out_stream.pcm"
+    cli.enhance_streaming(params, str(noisy), str(out_s),
+                          model_dtype=jnp.bfloat16, raw_scale=True)
+    got = read_pcm16(str(out_s), normalize=False)
+    assert len(got) == n - C.FRAME_SIZE  # dropped first frame
+    assert np.all(np.isfinite(got)) and np.abs(got).max() <= 32767
+
+    out_b = tmp_path / "out_batch.pcm"
+    cli.enhance_files(params, [str(noisy)], [str(out_b)],
+                      model_dtype=jnp.bfloat16, raw_scale=True)
+    ref = read_pcm16(str(out_b), normalize=False)
+    # bf16 recurrence at different batch tiling: compare with the bf16
+    # drift bound, relative to the int16 range
+    assert np.abs(got - ref[: len(got)]).max() <= 3e-3 * 32768 + 32
