@@ -45,8 +45,12 @@ def main(argv=None):
     # Shape chosen for steady-state throughput: many parallel streams,
     # chunks long enough to amortize scan overhead (throughput saturates
     # near batch 256 on one v5e chip — GRU weight streaming amortized).
-    batch = 512
-    n_frames = 200          # 2 s per stream per step
+    batch, n_frames = 512, 200      # 2 s per stream per step
+    for a in argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+        elif a.startswith("--frames="):
+            n_frames = int(a.split("=", 1)[1])
     n_samples = n_frames * 480
 
     params = percepnet.init_params(jax.random.PRNGKey(0))

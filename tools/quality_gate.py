@@ -72,6 +72,10 @@ def main(argv=None):
 
     import tempfile
 
+    # persistent XLA compile cache: the enhance graphs (two modes) take
+    # minutes to compile through a remote-TPU tunnel per fresh shape
+    from percepnet_tpu.__main__ import _enable_compile_cache
+    _enable_compile_cache()
     from percepnet_tpu.cli.enhance import enhance_files, load_params
     from percepnet_tpu.cli.evaluate import evaluate_pair
 
