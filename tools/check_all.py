@@ -87,8 +87,18 @@ def main(argv=None):
             [py, "tools/roundtrip_check.py", "--weights", weights,
              "--noisy", os.path.join(args.noisy_dir, noisy)]))
     if "tpu" not in skip:
-        import jax
-        if jax.default_backend() == "tpu":
+        # probe the backend in a SUBPROCESS: initializing jax here would
+        # hold the single-tenant TPU and deadlock the child check_tpu.py
+        try:
+            probe = subprocess.run(
+                [py, "-c", "import jax; print(jax.default_backend())"],
+                capture_output=True, text=True, timeout=120)
+            is_tpu = probe.stdout.strip().endswith("tpu")
+        except subprocess.TimeoutExpired:
+            # a hung init means the remote-TPU tunnel is down; don't
+            # block the whole gate on it
+            is_tpu = False
+        if is_tpu:
             results.append(run_stage("tpu", [py, "tools/check_tpu.py"]))
         else:
             print("=== tpu: skipped (no TPU backend)", flush=True)
