@@ -136,9 +136,11 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
     period = track["period"]
 
     # --- comb filter (Pallas kernel on TPU; window fused inside) ----------
-    pw = comb.comb_filter_windows_batch(s_pad, period, _X_OFF)
-    if serving:
-        pw = pw.astype(jnp.bfloat16)
+    # serving tier: the kernel stores bf16 directly (half the HBM write,
+    # no separate cast pass before the bf16 DFT)
+    pw = comb.comb_filter_windows_batch(
+        s_pad, period, _X_OFF,
+        out_dtype=jnp.bfloat16 if serving else jnp.float32)
     pr, pi = dft.forward_dft(pw)
     ep = bands.band_energy(pr, pi)
     exp_raw = bands.band_corr(xr, xi, pr, pi)

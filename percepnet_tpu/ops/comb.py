@@ -102,7 +102,8 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
                                 rot[1 : n_rows + 1])
             acc = acc + w[kk] * shifted
         acc = acc * vorbis
-        out_ref[0, t, :] = acc.reshape(1, n_rows * _LANE)[0, : C.WINDOW_SIZE]
+        out_ref[0, t, :] = acc.reshape(
+            1, n_rows * _LANE)[0, : C.WINDOW_SIZE].astype(out_ref.dtype)
 
     # 4-frame unroll amortizes loop/address overhead (-22% measured)
     unroll = 4 if tt % 4 == 0 else 1
@@ -115,8 +116,9 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
     lax.fori_loop(0, tt // unroll, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("x_offset",))
-def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
+@functools.partial(jax.jit, static_argnames=("x_offset", "out_dtype"))
+def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int,
+                 out_dtype=jnp.float32):
     """s_pad [B, n_pad], period [B, T] -> [B, T, 960]."""
     bsz, t = period.shape
     tt = _pick_tt(t)
@@ -151,7 +153,7 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int):
                                lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, C.WINDOW_SIZE),
-                                       jnp.float32),
+                                       out_dtype),
         scratch_shapes=[
             pltpu.VMEM((tile_rows, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -177,7 +179,8 @@ def _comb_gather(s_pad: jax.Array, period: jax.Array, x_offset: int):
 
 
 def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
-                              x_offset: int) -> jax.Array:
+                              x_offset: int,
+                              out_dtype=jnp.float32) -> jax.Array:
     """[B, T, WINDOW_SIZE] analysis-windowed comb outputs for a batch.
 
     Output = apply_window(comb taps sum), i.e. the windowed P buffer fed
@@ -189,10 +192,13 @@ def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
         leading zeros).
       period: [B, T] int32 pitch period per frame.
       x_offset: padded-sample offset of the analysis window (2400).
+      out_dtype: output store dtype.  The serving tier passes bfloat16 so
+        the kernel stores half the bytes and the downstream bf16 DFT needs
+        no separate cast pass (accumulation stays f32 either way).
     """
     if jax.default_backend() == "tpu":
-        return _comb_pallas(s_pad, period, x_offset)
-    return _comb_gather(s_pad, period, x_offset)
+        return _comb_pallas(s_pad, period, x_offset, out_dtype)
+    return _comb_gather(s_pad, period, x_offset).astype(out_dtype)
 
 
 def comb_filter_windows(s_pad: jax.Array, n_frames: int, x_offset: int,

@@ -112,9 +112,9 @@ def main(argv=None):
     period = jax.jit(lambda s: f_pitch(s)[0])(s_pad)
 
     def f_comb(s_pad, period, xr, xi, ex):
-        pw = comb.comb_filter_windows_batch(s_pad, period, frontend._X_OFF)
-        if serving:
-            pw = pw.astype(jnp.bfloat16)
+        pw = comb.comb_filter_windows_batch(
+            s_pad, period, frontend._X_OFF,
+            out_dtype=jnp.bfloat16 if serving else jnp.float32)
         pr, pi = dft.forward_dft(pw)
         ep = bands.band_energy(pr, pi)
         exp_raw = bands.band_corr(xr[:, :T], xi[:, :T], pr, pi)
