@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int)
     ap.add_argument("--seq-len", type=int)
     ap.add_argument("--max-steps", type=int)
+    ap.add_argument("--gain-mse-weight", type=float,
+                    help="extra linear-domain gain MSE loss term weight "
+                         "(default 0 = reference-faithful loss; see "
+                         "train.loss.percepnet_loss)")
     ap.add_argument("--log-interval", type=int)
     ap.add_argument("--no-tensorboard", action="store_true")
     ap.add_argument("--watchdog", type=float, metavar="SECS",
@@ -80,6 +84,8 @@ def main(argv=None):
         overrides["seq_len"] = args.seq_len
     if args.max_steps:
         overrides["train_max_steps"] = args.max_steps
+    if args.gain_mse_weight is not None:
+        overrides["gain_mse_weight"] = args.gain_mse_weight
     if args.log_interval:
         overrides["log_interval_steps"] = args.log_interval
     if args.watchdog:

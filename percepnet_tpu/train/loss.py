@@ -20,8 +20,18 @@ C4 = 10.0
 
 
 def percepnet_loss(outputs: jax.Array, targets: jax.Array,
-                   grad_eps: float = 1e-10) -> jax.Array:
-    """outputs/targets: [..., 68] = concat(g[34], r[34])."""
+                   grad_eps: float = 1e-10,
+                   gain_mse_weight: float = 0.0) -> jax.Array:
+    """outputs/targets: [..., 68] = concat(g[34], r[34]).
+
+    gain_mse_weight: optional extra LINEAR-domain gain MSE term,
+    `w * mean((g - ĝ)^2)`.  The paper's γ=0.5 loss compresses the high-
+    gain end (d√g/dg → 1/2 at g=1 vs ∞ at 0), so a model trained on a
+    small corpus under-predicts gains in speech-dominant bands — measured
+    ĝ≈0.49 where g>0.7 on the synthetic DNS recipe, i.e. ~3 dB of speech
+    attenuation exactly where intelligibility lives.  The linear term
+    restores pressure at the high end.  Default 0.0 = reference-faithful
+    loss (rnn_train.py:153-176)."""
     g_hat, r_hat = outputs[..., :34], outputs[..., 34:68]
     g, r = targets[..., :34], targets[..., 34:68]
 
@@ -30,5 +40,9 @@ def percepnet_loss(outputs: jax.Array, targets: jax.Array,
 
     dg = pow_g(g) - pow_g(g_hat)
     dr = pow_g(1.0 - r) - pow_g(1.0 - r_hat)
-    return (jnp.mean(dg * dg) + C4 * jnp.mean(dg ** 4)
+    loss = (jnp.mean(dg * dg) + C4 * jnp.mean(dg ** 4)
             + jnp.mean(dr * dr))
+    if gain_mse_weight:
+        lin = g - g_hat
+        loss = loss + gain_mse_weight * jnp.mean(lin * lin)
+    return loss

@@ -54,7 +54,7 @@ def init_train_state(key: jax.Array,
     return TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
 
 
-def loss_fn(params, features, targets):
+def loss_fn(params, features, targets, gain_mse_weight: float = 0.0):
     """features [B,T,70] (x30-scaled), targets [B,T,68] = concat(g, r).
 
     The GRU scan is rematerialized (remat=True): backward recomputes gate
@@ -64,52 +64,60 @@ def loss_fn(params, features, targets):
     """
     g, r, _ = percepnet.forward(params, features, remat=True)
     out = jnp.concatenate([g, r], axis=-1)
-    return percepnet_loss(out, targets)
+    return percepnet_loss(out, targets, gain_mse_weight=gain_mse_weight)
 
 
 def train_step(state: TrainState, features, targets,
-               tx: optax.GradientTransformation):
+               tx: optax.GradientTransformation,
+               gain_mse_weight: float = 0.0):
     """One SGD step; pure, jit under a closed-over `tx`."""
-    loss, grads = jax.value_and_grad(loss_fn)(state.params, features, targets)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, features, targets, gain_mse_weight)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
 
 
-def eval_step(state: TrainState, features, targets):
-    return loss_fn(state.params, features, targets)
+def eval_step(state: TrainState, features, targets,
+              gain_mse_weight: float = 0.0):
+    return loss_fn(state.params, features, targets, gain_mse_weight)
 
 
-def make_jitted_steps(tx: optax.GradientTransformation, mesh=None):
+def make_jitted_steps(tx: optax.GradientTransformation, mesh=None,
+                      gain_mse_weight: float = 0.0):
     """(train_step, eval_step) jitted; if `mesh` is given, data enters
     sharded on the utterance axis and state stays replicated."""
+    w = gain_mse_weight
     if mesh is None:
-        step = jax.jit(lambda s, x, y: train_step(s, x, y, tx),
+        step = jax.jit(lambda s, x, y: train_step(s, x, y, tx, w),
                        donate_argnums=(0,))
-        return step, jax.jit(eval_step)
+        return step, jax.jit(lambda s, x, y: eval_step(s, x, y, w))
 
     from percepnet_tpu.parallel import mesh as pm
     data_s = pm.batch_sharding(mesh)
     rep_s = pm.replicated_sharding(mesh)
     step = jax.jit(
-        lambda s, x, y: train_step(s, x, y, tx),
+        lambda s, x, y: train_step(s, x, y, tx, w),
         in_shardings=(rep_s, data_s, data_s),
         out_shardings=(rep_s, rep_s),
         donate_argnums=(0,))
-    ev = jax.jit(eval_step, in_shardings=(rep_s, data_s, data_s),
+    ev = jax.jit(lambda s, x, y: eval_step(s, x, y, w),
+                 in_shardings=(rep_s, data_s, data_s),
                  out_shardings=rep_s)
     return step, ev
 
 
-def make_jitted_index_steps(tx: optax.GradientTransformation, mesh=None):
+def make_jitted_index_steps(tx: optax.GradientTransformation, mesh=None,
+                            gain_mse_weight: float = 0.0):
     """(train_step, eval_step) over a DEVICE-RESIDENT dataset: steps take
     (state, x_all, y_all, idx) and gather the batch on-device, so only the
     int32 indices cross the host link (see datasets.load_all_chunks)."""
+    w = gain_mse_weight
     if mesh is None:
         step = jax.jit(
-            lambda s, xa, ya, i: train_step(s, xa[i], ya[i], tx),
+            lambda s, xa, ya, i: train_step(s, xa[i], ya[i], tx, w),
             donate_argnums=(0,))
-        ev = jax.jit(lambda s, xa, ya, i: eval_step(s, xa[i], ya[i]))
+        ev = jax.jit(lambda s, xa, ya, i: eval_step(s, xa[i], ya[i], w))
         return step, ev
 
     from percepnet_tpu.parallel import mesh as pm
@@ -121,12 +129,13 @@ def make_jitted_index_steps(tx: optax.GradientTransformation, mesh=None):
             jnp.take(xa, i, axis=0), data_s)
 
     step = jax.jit(
-        lambda s, xa, ya, i: train_step(s, gather(xa, i), gather(ya, i), tx),
+        lambda s, xa, ya, i: train_step(
+            s, gather(xa, i), gather(ya, i), tx, w),
         in_shardings=(rep_s, rep_s, rep_s, rep_s),
         out_shardings=(rep_s, rep_s),
         donate_argnums=(0,))
     ev = jax.jit(
-        lambda s, xa, ya, i: eval_step(s, gather(xa, i), gather(ya, i)),
+        lambda s, xa, ya, i: eval_step(s, gather(xa, i), gather(ya, i), w),
         in_shardings=(rep_s, rep_s, rep_s, rep_s),
         out_shardings=rep_s)
     return step, ev

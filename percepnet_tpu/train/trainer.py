@@ -38,6 +38,9 @@ class TrainConfig:
     eval_interval_steps: int = 1_000
     log_interval_steps: int = 1_000
     grad_clip_norm: float | None = None  # reference does not clip
+    gain_mse_weight: float = 0.0         # extra linear-domain gain MSE
+                                         # term (see loss.percepnet_loss);
+                                         # 0.0 = reference-faithful loss
     seed: int = 0
     out_dir: str = "exp"
     watchdog_secs: float | None = None   # hang detection (see run())
@@ -115,10 +118,12 @@ class Trainer:
                                           if device_dev is not None
                                           else (None, None))
             self._train_step, self._eval_step = ts.make_jitted_index_steps(
-                self.tx, self.mesh)
+                self.tx, self.mesh,
+                gain_mse_weight=config.gain_mse_weight)
         else:
             self._train_step, self._eval_step = ts.make_jitted_steps(
-                self.tx, self.mesh)
+                self.tx, self.mesh,
+                gain_mse_weight=config.gain_mse_weight)
         self.history: list[dict[str, Any]] = []
         # TensorBoard scalars + intermediate-result heatmaps, like the
         # reference (rnn_train.py:431-462); optional dependency.

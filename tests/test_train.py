@@ -27,6 +27,13 @@ def test_loss_matches_reference_formula():
     got = percepnet_loss(jnp.asarray(out), jnp.asarray(tgt), grad_eps=0.0)
     assert abs(float(got) - want) < 1e-6
 
+    # optional linear-domain gain term: exact additive delta, and the
+    # default (0.0) stays reference-faithful
+    lin = ((g - g_hat) ** 2).mean()
+    got_w = percepnet_loss(jnp.asarray(out), jnp.asarray(tgt), grad_eps=0.0,
+                           gain_mse_weight=0.5)
+    assert abs(float(got_w) - (want + 0.5 * lin)) < 1e-6
+
 
 @pytest.fixture(scope="module")
 def tiny_batch():
