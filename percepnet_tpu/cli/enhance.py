@@ -54,7 +54,7 @@ def load_params(path: str):
 def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
                   drop_first_frame: bool = True, compat: bool = False,
                   dump_gr_paths=None, model_dtype=None,
-                  raw_scale: bool = False):
+                  raw_scale: bool = False, log1p_features: bool = False):
     """raw_scale: feed raw int16 amplitudes instead of /32768.
 
     The reference has a scale MISMATCH between its two binaries: featgen
@@ -79,6 +79,10 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
         kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
     if model_dtype is not None:
         kw["compute_dtype"] = model_dtype
+    if log1p_features:
+        # must match the checkpoint's training config (TrainConfig.
+        # log1p_features; see models.percepnet.compress_features)
+        kw["log1p_features"] = True
 
     pcm_scale = 1.0 if raw_scale else 32768.0
     signals = [read_pcm16(p, normalize=not raw_scale) for p in in_paths]
@@ -131,6 +135,7 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
 def enhance_streaming(params, in_path, out_path, *,
                       drop_first_frame: bool = True, compat: bool = False,
                       model_dtype=None, raw_scale: bool = False,
+                      log1p_features: bool = False,
                       report_latency: bool = False):
     """Frame-by-frame streaming enhancement (10 ms hop), like the
     reference binary's loop (main.cpp:30-39): one jitted step per frame
@@ -154,6 +159,8 @@ def enhance_streaming(params, in_path, out_path, *,
         # bf16 serving tier (model + frontend), same as batch mode; cuts
         # the per-frame step latency on the MXU
         kw["compute_dtype"] = model_dtype
+    if log1p_features:
+        kw["log1p_features"] = True
 
     signal = read_pcm16(in_path, normalize=not raw_scale)
     n_frames = len(signal) // C.FRAME_SIZE
@@ -226,6 +233,10 @@ def main(argv=None):
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 serving mode (faster MXU path; quality "
                          "gate: tools/quality_gate.py)")
+    ap.add_argument("--log1p", action="store_true",
+                    help="log1p feature compression at the model boundary "
+                         "— required for checkpoints trained with "
+                         "log1p_features (see train --log1p-features)")
     ap.add_argument("--raw-scale", action="store_true",
                     help="feed raw int16 amplitudes (the featgen/training "
                          "scale) instead of the reference binary's /32768 "
@@ -273,12 +284,14 @@ def main(argv=None):
                               drop_first_frame=not args.keep_first_frame,
                               compat=args.compat, model_dtype=model_dtype,
                               raw_scale=args.raw_scale,
+                              log1p_features=args.log1p,
                               report_latency=args.report_latency)
     else:
         enhance_files(params, ins, outs, batch_frames=args.batch_frames,
                       drop_first_frame=not args.keep_first_frame,
                       compat=args.compat, dump_gr_paths=gr_paths,
-                      model_dtype=model_dtype, raw_scale=args.raw_scale)
+                      model_dtype=model_dtype, raw_scale=args.raw_scale,
+                      log1p_features=args.log1p)
 
 
 if __name__ == "__main__":

@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int)
     ap.add_argument("--seq-len", type=int)
     ap.add_argument("--max-steps", type=int)
+    ap.add_argument("--log1p-features", action="store_true",
+                    help="log1p-compress energy features at the model "
+                         "boundary (fixes the reference's saturated input "
+                         "stack; enhance must pass --log1p too; not "
+                         "exportable to the C++ runtime)")
     ap.add_argument("--gain-mse-weight", type=float,
                     help="extra linear-domain gain MSE loss term weight "
                          "(default 0 = reference-faithful loss; see "
@@ -86,6 +91,8 @@ def main(argv=None):
         overrides["train_max_steps"] = args.max_steps
     if args.gain_mse_weight is not None:
         overrides["gain_mse_weight"] = args.gain_mse_weight
+    if args.log1p_features:
+        overrides["log1p_features"] = True
     if args.log_interval:
         overrides["log_interval_steps"] = args.log_interval
     if args.watchdog:

@@ -168,16 +168,39 @@ def _project(p: Params, x: jax.Array) -> jax.Array:
     return jnp.matmul(x, p["wi"], precision=_P) + p["bi"]
 
 
+def compress_features(features: jax.Array) -> jax.Array:
+    """log1p-compress the 68 energy/coherence feature dims (T and corr
+    stay raw).
+
+    The reference feeds RAW band energies x30 at int16-amplitude scale
+    (create_features denoise.cpp:487-496 + NORM_RATIO=1 denoise.cpp:41)
+    — magnitudes up to ~5e8 on real data.  That saturates the fc-ReLU /
+    conv-tanh input stack: tanh'(x) underflows to exactly 0 in f32, so
+    fc/conv1/conv2 receive literally zero gradient and never train (the
+    reference's torch recipe shares this pathology; measured here on the
+    trained checkpoints — every downstream path runs through conv2, so
+    the whole input stack is frozen at init and conv2's output is a
+    saturated ±1 pattern).  log1p keeps [0, ~30]-scale features nearly
+    linear while compressing energies into a trainable range.  Opt-in:
+    models trained with it must enhance with it (and cannot be exported
+    to the C++ runtime, whose compute_rnn has no such transform)."""
+    return jnp.concatenate(
+        [jnp.log1p(features[..., :68]), features[..., 68:]], axis=-1)
+
+
 def forward(params: PercepNetParams, features: jax.Array,
             state: ModelState | None = None, *,
             act_tanh: Callable = jnp.tanh,
             act_sigmoid: Callable = jax.nn.sigmoid,
             remat: bool = False,
-            compute_dtype=None):
+            compute_dtype=None,
+            log1p_features: bool = False):
     """Whole-sequence forward pass.
 
     Args:
       features: [B, T, 70] model input (already x30-scaled).
+      log1p_features: apply compress_features at the model boundary
+        (records/features stay reference-format; see compress_features).
       state: optional streaming ModelState (None = zeros).
       remat: rematerialize the GRU scan step (jax.checkpoint): backward
         recomputes each step's gate activations instead of storing
@@ -196,6 +219,8 @@ def forward(params: PercepNetParams, features: jax.Array,
       (g [B, T, 34], r [B, T, 34], new_state)
     """
     b, t, _ = features.shape
+    if log1p_features:
+        features = compress_features(features)
     if state is None:
         state = init_model_state(b, compute_dtype or jnp.float32)
     if compute_dtype is not None:

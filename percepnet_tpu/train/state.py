@@ -54,7 +54,8 @@ def init_train_state(key: jax.Array,
     return TrainState(params, tx.init(params), jnp.asarray(0, jnp.int32))
 
 
-def loss_fn(params, features, targets, gain_mse_weight: float = 0.0):
+def loss_fn(params, features, targets, gain_mse_weight: float = 0.0,
+            log1p_features: bool = False):
     """features [B,T,70] (x30-scaled), targets [B,T,68] = concat(g, r).
 
     The GRU scan is rematerialized (remat=True): backward recomputes gate
@@ -62,62 +63,68 @@ def loss_fn(params, features, targets, gain_mse_weight: float = 0.0):
     which is what lets multi-GB device-resident corpora coexist with
     training (see datasets.load_all_chunks).
     """
-    g, r, _ = percepnet.forward(params, features, remat=True)
+    g, r, _ = percepnet.forward(params, features, remat=True,
+                                log1p_features=log1p_features)
     out = jnp.concatenate([g, r], axis=-1)
     return percepnet_loss(out, targets, gain_mse_weight=gain_mse_weight)
 
 
 def train_step(state: TrainState, features, targets,
                tx: optax.GradientTransformation,
-               gain_mse_weight: float = 0.0):
+               gain_mse_weight: float = 0.0,
+               log1p_features: bool = False):
     """One SGD step; pure, jit under a closed-over `tx`."""
     loss, grads = jax.value_and_grad(loss_fn)(
-        state.params, features, targets, gain_mse_weight)
+        state.params, features, targets, gain_mse_weight, log1p_features)
     updates, opt_state = tx.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state, state.step + 1), loss
 
 
 def eval_step(state: TrainState, features, targets,
-              gain_mse_weight: float = 0.0):
-    return loss_fn(state.params, features, targets, gain_mse_weight)
+              gain_mse_weight: float = 0.0,
+              log1p_features: bool = False):
+    return loss_fn(state.params, features, targets, gain_mse_weight,
+                   log1p_features)
 
 
 def make_jitted_steps(tx: optax.GradientTransformation, mesh=None,
-                      gain_mse_weight: float = 0.0):
+                      gain_mse_weight: float = 0.0,
+                      log1p_features: bool = False):
     """(train_step, eval_step) jitted; if `mesh` is given, data enters
     sharded on the utterance axis and state stays replicated."""
-    w = gain_mse_weight
+    w, lg = gain_mse_weight, log1p_features
     if mesh is None:
-        step = jax.jit(lambda s, x, y: train_step(s, x, y, tx, w),
+        step = jax.jit(lambda s, x, y: train_step(s, x, y, tx, w, lg),
                        donate_argnums=(0,))
-        return step, jax.jit(lambda s, x, y: eval_step(s, x, y, w))
+        return step, jax.jit(lambda s, x, y: eval_step(s, x, y, w, lg))
 
     from percepnet_tpu.parallel import mesh as pm
     data_s = pm.batch_sharding(mesh)
     rep_s = pm.replicated_sharding(mesh)
     step = jax.jit(
-        lambda s, x, y: train_step(s, x, y, tx, w),
+        lambda s, x, y: train_step(s, x, y, tx, w, lg),
         in_shardings=(rep_s, data_s, data_s),
         out_shardings=(rep_s, rep_s),
         donate_argnums=(0,))
-    ev = jax.jit(lambda s, x, y: eval_step(s, x, y, w),
+    ev = jax.jit(lambda s, x, y: eval_step(s, x, y, w, lg),
                  in_shardings=(rep_s, data_s, data_s),
                  out_shardings=rep_s)
     return step, ev
 
 
 def make_jitted_index_steps(tx: optax.GradientTransformation, mesh=None,
-                            gain_mse_weight: float = 0.0):
+                            gain_mse_weight: float = 0.0,
+                            log1p_features: bool = False):
     """(train_step, eval_step) over a DEVICE-RESIDENT dataset: steps take
     (state, x_all, y_all, idx) and gather the batch on-device, so only the
     int32 indices cross the host link (see datasets.load_all_chunks)."""
-    w = gain_mse_weight
+    w, lg = gain_mse_weight, log1p_features
     if mesh is None:
         step = jax.jit(
-            lambda s, xa, ya, i: train_step(s, xa[i], ya[i], tx, w),
+            lambda s, xa, ya, i: train_step(s, xa[i], ya[i], tx, w, lg),
             donate_argnums=(0,))
-        ev = jax.jit(lambda s, xa, ya, i: eval_step(s, xa[i], ya[i], w))
+        ev = jax.jit(lambda s, xa, ya, i: eval_step(s, xa[i], ya[i], w, lg))
         return step, ev
 
     from percepnet_tpu.parallel import mesh as pm
@@ -130,12 +137,12 @@ def make_jitted_index_steps(tx: optax.GradientTransformation, mesh=None,
 
     step = jax.jit(
         lambda s, xa, ya, i: train_step(
-            s, gather(xa, i), gather(ya, i), tx, w),
+            s, gather(xa, i), gather(ya, i), tx, w, lg),
         in_shardings=(rep_s, rep_s, rep_s, rep_s),
         out_shardings=(rep_s, rep_s),
         donate_argnums=(0,))
     ev = jax.jit(
-        lambda s, xa, ya, i: eval_step(s, gather(xa, i), gather(ya, i), w),
+        lambda s, xa, ya, i: eval_step(s, gather(xa, i), gather(ya, i), w, lg),
         in_shardings=(rep_s, rep_s, rep_s, rep_s),
         out_shardings=rep_s)
     return step, ev

@@ -41,6 +41,13 @@ class TrainConfig:
     gain_mse_weight: float = 0.0         # extra linear-domain gain MSE
                                          # term (see loss.percepnet_loss);
                                          # 0.0 = reference-faithful loss
+    log1p_features: bool = False         # compress energy features at the
+                                         # model boundary (fixes the
+                                         # reference's saturated input
+                                         # stack; see models.percepnet.
+                                         # compress_features).  Enhance
+                                         # with the same flag; not
+                                         # exportable to the C++ runtime
     seed: int = 0
     out_dir: str = "exp"
     watchdog_secs: float | None = None   # hang detection (see run())
@@ -119,11 +126,13 @@ class Trainer:
                                           else (None, None))
             self._train_step, self._eval_step = ts.make_jitted_index_steps(
                 self.tx, self.mesh,
-                gain_mse_weight=config.gain_mse_weight)
+                gain_mse_weight=config.gain_mse_weight,
+                log1p_features=config.log1p_features)
         else:
             self._train_step, self._eval_step = ts.make_jitted_steps(
                 self.tx, self.mesh,
-                gain_mse_weight=config.gain_mse_weight)
+                gain_mse_weight=config.gain_mse_weight,
+                log1p_features=config.log1p_features)
         self.history: list[dict[str, Any]] = []
         # TensorBoard scalars + intermediate-result heatmaps, like the
         # reference (rnn_train.py:431-462); optional dependency.

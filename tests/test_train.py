@@ -11,6 +11,7 @@ import pytest
 from percepnet_tpu.parallel import mesh as pm
 from percepnet_tpu.train import checkpoint as ckpt
 from percepnet_tpu.train import datasets, state as ts
+from percepnet_tpu.models import percepnet
 from percepnet_tpu.train.loss import percepnet_loss
 
 
@@ -322,3 +323,23 @@ def test_remat_gradients_match_no_remat():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_log1p_unsaturates_input_stack():
+    """Features at raw featgen scale (energies ~1e8) saturate conv2's tanh:
+    fc/conv1/conv2 get EXACTLY zero gradient (the reference recipe's
+    pathology, shared by rnn_train.py).  log1p_features restores flow."""
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 3e8, (2, 8, 70)).astype(np.float32)
+    x[..., 68:] = rng.uniform(0, 1, (2, 8, 2))
+    y = rng.uniform(0.05, 0.95, (2, 8, 68)).astype(np.float32)
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+
+    def stack_grad(log1p):
+        g = jax.grad(ts.loss_fn)(params, jnp.asarray(x), jnp.asarray(y),
+                                 0.0, log1p)
+        leaves = jax.tree.leaves((g.fc, g.conv1, g.conv2))
+        return max(float(jnp.abs(v).max()) for v in leaves)
+
+    assert stack_grad(False) == 0.0
+    assert stack_grad(True) > 0.0

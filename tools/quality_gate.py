@@ -42,6 +42,8 @@ def main(argv=None):
     ap.add_argument("--limit", type=int, default=16)
     ap.add_argument("--out-dir", help="keep enhanced PCM here")
     ap.add_argument("--skip-bf16", action="store_true")
+    ap.add_argument("--log1p", action="store_true",
+                    help="checkpoint was trained with log1p_features")
     ap.add_argument("--order", choices=("snr", "list"), default="snr",
                     help="'snr' (default) evaluates the LOWEST-baseline-SNR "
                          "pairs of the dev set — the enhancement-improves "
@@ -89,7 +91,7 @@ def main(argv=None):
         # (NORM_RATIO=1); see enhance_files docstring for the reference's
         # inference/training scale mismatch
         enhance_files(params, noisys, outs, model_dtype=model_dtype,
-                      raw_scale=True)
+                      raw_scale=True, log1p_features=args.log1p)
         rows = [evaluate_pair(c, o) for c, o in zip(cleans, outs)]
         mean = {k: round(float(np.mean([r[k] for r in rows])), 4)
                 for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like_uncal")}
