@@ -41,12 +41,14 @@ class StreamingServer:
     """
 
     def __init__(self, params, capacity: int = 64, *, compat: bool = False,
-                 mesh=None, model_dtype=None):
+                 mesh=None, model_dtype=None, log1p_features: bool = False):
         """mesh: optional jax.sharding mesh — slots shard across chips
         (capacity must be divisible by the mesh size), params replicate,
         and the tick becomes one SPMD step over all chips.
         model_dtype: jnp.bfloat16 serves the NN in bf16 (quality gate:
-        tools/quality_gate.py)."""
+        tools/quality_gate.py).
+        log1p_features: required for checkpoints trained with the log1p
+        input compression (models.percepnet.compress_features)."""
         self.capacity = capacity
         kw = {}
         if compat:
@@ -55,6 +57,8 @@ class StreamingServer:
             kw = dict(act_tanh=tansig_approx, act_sigmoid=sigmoid_approx)
         if model_dtype is not None:
             kw["compute_dtype"] = model_dtype
+        if log1p_features:
+            kw["log1p_features"] = True
         self._model_dtype = model_dtype or jnp.float32
         if mesh is not None:
             from percepnet_tpu.parallel import mesh as pm
