@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--dev-filelist", default="work/dns/lists/dev_filelist.txt")
     ap.add_argument("--limit", type=int, default=8,
                     help="held-out pairs for the quality stage")
+    ap.add_argument("--log1p", action="store_true",
+                    help="weights were trained with log1p_features "
+                         "(skips the C++ roundtrip stage: the C runtime "
+                         "has no input transform)")
     ap.add_argument("--skip", default="",
                     help="comma-separated stages to skip "
                          "(parity,quality,roundtrip,tpu)")
@@ -77,9 +81,13 @@ def main(argv=None):
         cmd = [py, "tools/quality_gate.py", "--weights", weights,
                "--clean-dir", args.clean_dir, "--noisy-dir", args.noisy_dir,
                "--limit", str(args.limit)]
+        if args.log1p:
+            cmd.append("--log1p")
         if os.path.exists(os.path.join(ROOT, args.dev_filelist)):
             cmd += ["--dev-filelist", args.dev_filelist]
         results.append(run_stage("quality", cmd))
+    if args.log1p:
+        skip.add("roundtrip")   # C++ runtime cannot run log1p models
     if "roundtrip" not in skip and have_data:
         noisy = sorted(os.listdir(os.path.join(ROOT, args.noisy_dir)))[0]
         results.append(run_stage(
