@@ -27,18 +27,30 @@ def main() -> None:
               + " ".join(sorted(COMMANDS)))
         raise SystemExit(2)
     mod_name, fn_name = COMMANDS[cmd]
+    _configure_jax()
     import importlib
     fn = getattr(importlib.import_module(mod_name), fn_name)
-    _enable_compile_cache()
     fn(sys.argv[2:])
 
 
-def _enable_compile_cache() -> None:
-    """Persistent XLA compile cache for every CLI entry: the batched
-    pipeline graphs take minutes to compile through a remote-TPU tunnel,
-    and CLI invocations are short-lived processes."""
+def _configure_jax() -> None:
+    """Per-process jax config for every CLI entry.
+
+    - Persistent XLA compile cache: the batched pipeline graphs take
+      minutes to compile through a remote-TPU tunnel, and CLI
+      invocations are short-lived processes.
+    - PERCEPNET_PLATFORM=cpu (or any jax platform string) overrides the
+      device selection BEFORE first backend use.  Plain JAX_PLATFORMS
+      does not work here: the axon TPU shim rewrites jax_platforms at
+      import time, and with the TPU tunnel down the default backend
+      init blocks forever — this is the CLI's escape hatch.
+    """
+    import os
     try:
         import jax
+        platform = os.environ.get("PERCEPNET_PLATFORM")
+        if platform:
+            jax.config.update("jax_platforms", platform)
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
