@@ -40,12 +40,26 @@ def latest_checkpoint(d: str) -> str | None:
     return latest(d)
 
 
-def run_stage(name: str, cmd: list[str]) -> dict:
+def run_stage(name: str, cmd: list[str], env: dict | None = None) -> dict:
     t0 = time.time()
     print(f"=== {name}: {' '.join(cmd)}", flush=True)
-    p = subprocess.run(cmd, cwd=ROOT)
+    p = subprocess.run(cmd, cwd=ROOT, env=env)
     return {"stage": name, "ok": p.returncode == 0,
             "secs": round(time.time() - t0, 1)}
+
+
+def probe_tpu(py: str) -> bool:
+    """Is a TPU backend reachable?  Probed in a SUBPROCESS: initializing
+    jax in this process would hold the single-tenant chip and deadlock
+    the child stages; a hung init (remote tunnel down) is bounded by the
+    timeout instead of blocking the whole gate."""
+    try:
+        probe = subprocess.run(
+            [py, "-c", "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=120)
+        return probe.stdout.strip().endswith("tpu")
+    except subprocess.TimeoutExpired:
+        return False
 
 
 def main(argv=None):
@@ -72,6 +86,16 @@ def main(argv=None):
         os.path.join(ROOT, "work", "dns", "exp8k"))
     py = sys.executable
 
+    # Probe the backend ONCE, up front: the quality and roundtrip stages
+    # would otherwise block forever on axon backend init when the remote
+    # tunnel is down.  With no TPU they degrade to CPU (slower, but the
+    # gates still assert).
+    is_tpu = probe_tpu(py)
+    cpu_env = None
+    if not is_tpu:
+        cpu_env = dict(os.environ, PERCEPNET_PLATFORM="cpu")
+        print("=== no TPU backend: quality/roundtrip run on CPU", flush=True)
+
     results = []
     if "parity" not in skip:
         results.append(run_stage(
@@ -85,27 +109,17 @@ def main(argv=None):
             cmd.append("--log1p")
         if os.path.exists(os.path.join(ROOT, args.dev_filelist)):
             cmd += ["--dev-filelist", args.dev_filelist]
-        results.append(run_stage("quality", cmd))
+        results.append(run_stage("quality", cmd, env=cpu_env))
     if args.log1p:
         skip.add("roundtrip")   # C++ runtime cannot run log1p models
     if "roundtrip" not in skip and have_data:
         noisy = sorted(os.listdir(os.path.join(ROOT, args.noisy_dir)))[0]
-        results.append(run_stage(
-            "roundtrip",
-            [py, "tools/roundtrip_check.py", "--weights", weights,
-             "--noisy", os.path.join(args.noisy_dir, noisy)]))
+        cmd = [py, "tools/roundtrip_check.py", "--weights", weights,
+               "--noisy", os.path.join(args.noisy_dir, noisy)]
+        if not is_tpu:
+            cmd.append("--cpu")
+        results.append(run_stage("roundtrip", cmd))
     if "tpu" not in skip:
-        # probe the backend in a SUBPROCESS: initializing jax here would
-        # hold the single-tenant TPU and deadlock the child check_tpu.py
-        try:
-            probe = subprocess.run(
-                [py, "-c", "import jax; print(jax.default_backend())"],
-                capture_output=True, text=True, timeout=120)
-            is_tpu = probe.stdout.strip().endswith("tpu")
-        except subprocess.TimeoutExpired:
-            # a hung init means the remote-TPU tunnel is down; don't
-            # block the whole gate on it
-            is_tpu = False
         if is_tpu:
             results.append(run_stage("tpu", [py, "tools/check_tpu.py"]))
         else:

@@ -74,10 +74,11 @@ def main(argv=None):
 
     import tempfile
 
-    # persistent XLA compile cache: the enhance graphs (two modes) take
-    # minutes to compile through a remote-TPU tunnel per fresh shape
-    from percepnet_tpu.__main__ import _enable_compile_cache
-    _enable_compile_cache()
+    # persistent XLA compile cache (the enhance graphs take minutes to
+    # compile through a remote-TPU tunnel per fresh shape) + the
+    # PERCEPNET_PLATFORM=cpu escape hatch for when the tunnel is down
+    from percepnet_tpu.__main__ import _configure_jax
+    _configure_jax()
     from percepnet_tpu.cli.enhance import enhance_files, load_params
     from percepnet_tpu.cli.evaluate import evaluate_pair
 
