@@ -45,10 +45,11 @@ class Loader {
  public:
   Loader(std::vector<std::string> files, int seq_len, int batch,
          int record_dim, int shard_id, int num_shards, uint32_t seed,
-         // queue_cap bounds the FINISHED-batch queue; inserts are ungated
-         // after the pre-claim check, so peak memory is queue_cap +
-         // (n_threads - 1) batches (each batch*seq_len*record_dim floats,
-         // ~110 MB/batch at the recipe shape) — size it accordingly.
+         // queue_cap is a HARD bound on loader memory: finished batches
+         // in ready_ plus in-flight claims never exceed queue_cap
+         // batches (each batch*seq_len*record_dim floats, ~110 MB/batch
+         // at the recipe shape).  Caps below n_threads simply idle the
+         // excess workers.
          int scale_cols, float scale, int n_threads, int queue_cap)
       : files_(std::move(files)), seq_len_(seq_len), batch_(batch),
         record_dim_(record_dim), seed_(seed), scale_cols_(scale_cols),
@@ -142,16 +143,20 @@ class Loader {
   void Work(int) {
     if (chunks_.empty()) return;
     while (true) {
-      // gate BEFORE claiming a position: at most queue_cap_ finished
-      // batches wait in ready_, plus one in flight per worker.  The worker
-      // holding the lowest unclaimed base is never blocked here, so the
-      // in-order delivery in Next() cannot deadlock.
+      // gate BEFORE claiming a position, counting in-flight claims:
+      // ready_.size() + in_flight_ never exceeds queue_cap_, so the cap
+      // is a hard memory bound.  A worker blocked here holds no claimed
+      // base, and a claimed base always completes ungated, so the
+      // in-order delivery in Next() cannot deadlock: whichever worker
+      // claimed next_deliver_ runs to emplace without re-entering the
+      // gate.
       {
         std::unique_lock<std::mutex> lk(mu_);
         cv_push_.wait(lk, [this] {
-          return (int)ready_.size() < queue_cap_ || stop_;
+          return (int)ready_.size() + in_flight_ < queue_cap_ || stop_;
         });
         if (stop_) return;
+        ++in_flight_;
       }
       // assemble one batch from `batch_` consecutive stream positions
       int64_t base = next_pos_.fetch_add(batch_);
@@ -169,6 +174,7 @@ class Loader {
         }
       }
       std::unique_lock<std::mutex> lk(mu_);
+      --in_flight_;
       if (stop_) return;
       ready_.emplace(base, std::move(b));
       lk.unlock();
@@ -184,6 +190,7 @@ class Loader {
   int scale_cols_;
   float scale_;
   int queue_cap_;
+  int in_flight_ = 0;  // claimed-but-not-yet-ready batches (guarded by mu_)
 
   std::mutex mu_, order_mu_;
   std::condition_variable cv_pop_, cv_push_;

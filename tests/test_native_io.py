@@ -86,6 +86,30 @@ def test_loader_order_deterministic_across_thread_counts(tmp_path):
         np.testing.assert_array_equal(x, z)
 
 
+def test_loader_tight_queue_cap_no_deadlock(tmp_path):
+    """queue_cap is a hard memory bound counting in-flight claims; a cap
+    smaller than n_threads must idle the excess workers, not deadlock
+    the in-order reorder buffer, and the stream stays seed-deterministic."""
+    rng = np.random.default_rng(5)
+    files = []
+    for i in range(3):
+        rec = rng.uniform(0, 1, (40, C.RECORD_DIM)).astype(np.float32)
+        p = tmp_path / f"q{i}.f32"
+        rec.tofile(p)
+        files.append(str(p))
+
+    def stream(queue_cap, n_batches=12):
+        ld = native.NativeBatchLoader(files, seq_len=10, batch=3, seed=11,
+                                      n_threads=4, queue_cap=queue_cap)
+        out = [next(ld).copy() for _ in range(n_batches)]
+        ld.close()
+        return out
+
+    tight, roomy = stream(1), stream(8)
+    for x, y in zip(tight, roomy):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_loader_empty_index_raises(tmp_path):
     """All files shorter than seq_len -> construction fails loudly
     instead of Next() blocking forever."""
