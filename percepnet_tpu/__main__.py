@@ -48,10 +48,15 @@ def _configure_jax() -> None:
     import os
     try:
         import jax
+
+        from percepnet_tpu.utils.cache import cache_dir
         platform = os.environ.get("PERCEPNET_PLATFORM")
         if platform:
             jax.config.update("jax_platforms", platform)
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+        # CPU cache dirs are keyed by host-CPU features (see utils/cache.py:
+        # VM live-migration otherwise loads stale AOT code that shifts
+        # numerics); the TPU dir is host-independent.
+        jax.config.update("jax_compilation_cache_dir", cache_dir(platform))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass

@@ -23,8 +23,13 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Persistent compile cache: the frontend takes minutes to compile on CPU;
-# cache hits make test re-runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# cache hits make test re-runs fast.  The dir is keyed by host-CPU features
+# (utils/cache.py): a VM live-migration changes the host CPU, and XLA loads
+# the stale AOT entries anyway with SHIFTED numerics — a migration must
+# start a fresh cache, not silently break 1e-6 parity asserts.
+from percepnet_tpu.utils.cache import cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir("cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens")
