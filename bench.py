@@ -16,8 +16,30 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 import time
+
+# Refuse to hang (or to print a non-TPU number) when the remote-TPU
+# tunnel is down: backend init through a dead tunnel blocks forever, so
+# probe it in a time-bounded subprocess first.  PERCEPNET_BENCH_NO_PROBE=1
+# skips the probe (e.g. when the chip is known-good and busy-polling it
+# twice is wasteful).
+if not os.environ.get("PERCEPNET_BENCH_NO_PROBE"):
+    try:
+        _p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=240)
+        _backend = _p.stdout.strip()
+    except subprocess.TimeoutExpired:
+        _backend = ""
+    if not _backend.endswith("tpu"):
+        print(f"bench.py: no TPU backend reachable (probe got "
+              f"{_backend!r}); refusing to bench a non-TPU device",
+              file=sys.stderr)
+        sys.exit(3)
 
 import jax
 import jax.numpy as jnp
