@@ -82,6 +82,8 @@ def main(argv=None):
     signal = 0.05 * jax.random.normal(key, (batch, n_samples), jnp.float32)
 
     kw = {} if dtype == jnp.float32 else {"compute_dtype": dtype}
+    from percepnet_tpu.ops.dispatch import resolve_impl
+    kw["impl"] = resolve_impl()   # pin the op tier outside the jit
     step = jax.jit(lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
                    donate_argnums=(2,))
 

@@ -71,6 +71,7 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
     from percepnet_tpu import constants as C
     from percepnet_tpu import pipeline
     from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
+    from percepnet_tpu.ops.dispatch import resolve_impl
 
     kw = {}
     if compat:
@@ -83,6 +84,8 @@ def enhance_files(params, in_paths, out_paths, *, batch_frames: int = 2000,
         # must match the checkpoint's training config (TrainConfig.
         # log1p_features; see models.percepnet.compress_features)
         kw["log1p_features"] = True
+    # pin the op tier OUTSIDE the jit so tracing never reads global state
+    kw["impl"] = resolve_impl()
 
     pcm_scale = 1.0 if raw_scale else 32768.0
     signals = [read_pcm16(p, normalize=not raw_scale) for p in in_paths]
@@ -149,6 +152,7 @@ def enhance_streaming(params, in_path, out_path, *,
     from percepnet_tpu import constants as C
     from percepnet_tpu import pipeline
     from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
+    from percepnet_tpu.ops.dispatch import resolve_impl
 
     kw = {}
     if compat:
@@ -161,6 +165,7 @@ def enhance_streaming(params, in_path, out_path, *,
         kw["compute_dtype"] = model_dtype
     if log1p_features:
         kw["log1p_features"] = True
+    kw["impl"] = resolve_impl()   # pinned outside the jit
 
     signal = read_pcm16(in_path, normalize=not raw_scale)
     n_frames = len(signal) // C.FRAME_SIZE
@@ -185,10 +190,13 @@ def enhance_streaming(params, in_path, out_path, *,
         return pcm, t + 1, st2
 
     step = jax.jit(_step, donate_argnums=(2, 3))
-    state = pipeline.init_pipeline_state(1)
+    # the carried ModelState must match the model tier's compute dtype
+    # (percepnet.forward contract) or every step promotes back to f32
+    state_dtype = model_dtype or jnp.float32
+    state = pipeline.init_pipeline_state(1, model_dtype=state_dtype)
     # warm up compile
     _, _, state = step(params, sig_dev, jnp.int32(0), state)
-    state = pipeline.init_pipeline_state(1)
+    state = pipeline.init_pipeline_state(1, model_dtype=state_dtype)
     t_dev = jnp.int32(0)
 
     # Frame-by-frame steps; outputs are left async so dispatch pipelines
@@ -204,7 +212,7 @@ def enhance_streaming(params, in_path, out_path, *,
     if report_latency:
         # steady-state per-step wall time (compute + dispatch); input is
         # already device-resident, matching the real loop above
-        stt = pipeline.init_pipeline_state(1)
+        stt = pipeline.init_pipeline_state(1, model_dtype=state_dtype)
         td = jnp.int32(0)
         o, td, stt = step(params, sig_dev, td, stt)
         jax.block_until_ready(o)

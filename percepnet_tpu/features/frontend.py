@@ -68,7 +68,7 @@ def _frame(s_pad: jax.Array, n_frames: int, offset: int, length: int):
 
 
 def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
-                  *, serving: bool = False):
+                  *, serving: bool = False, impl: str | None = None):
     """Analyze a batch of utterances; returns per-frame features and spectra.
 
     Args:
@@ -85,6 +85,10 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
         input quantization; end-to-end quality is gated by
         tools/quality_gate.py and pitch DECISIONS are audited on-chip by
         tools/check_tpu.py.  Default False = bit-exact parity frontend.
+      impl: explicit op-implementation tier for the backend-specialized
+        ops ('cpu' parity kernels / 'tpu' MXU+Pallas kernels); None
+        auto-resolves from the default backend at trace time — pass it
+        explicitly from entry points that jit (see ops.dispatch).
 
     Returns:
       (out, new_state) where out is a dict of [B, T, ...] arrays:
@@ -99,6 +103,8 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
 
     Batched natively (not vmap) so the comb filter hits its Pallas kernel.
     """
+    from percepnet_tpu.ops.dispatch import resolve_impl
+    impl = resolve_impl(impl)
     bsz, n = signal.shape
     if state is None:
         state = jax.tree.map(
@@ -131,7 +137,8 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
     ds = pitch.downsample_frames_from_stream(s_pad, n_frames, _PITCH_OFF)
     prec = pitch.BF16 if serving else pitch.HIGHEST
     track = jax.vmap(
-        lambda d, p, g: pitch.pitch_track_ds(d, p, g, precision=prec)
+        lambda d, p, g: pitch.pitch_track_ds(d, p, g, precision=prec,
+                                             impl=impl)
     )(ds, state.period, state.gain)
     period = track["period"]
 
@@ -140,7 +147,7 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
     # no separate cast pass before the bf16 DFT)
     pw = comb.comb_filter_windows_batch(
         s_pad, period, _X_OFF,
-        out_dtype=jnp.bfloat16 if serving else jnp.float32)
+        out_dtype=jnp.bfloat16 if serving else jnp.float32, impl=impl)
     pr, pi = dft.forward_dft(pw)
     ep = bands.band_energy(pr, pi)
     exp_raw = bands.band_corr(xr, xi, pr, pi)
@@ -170,10 +177,11 @@ def analyze_batch(signal: jax.Array, state: FrontendState | None = None,
 
 
 def analyze_utterance(signal: jax.Array, state: FrontendState | None = None,
-                      *, serving: bool = False):
+                      *, serving: bool = False, impl: str | None = None):
     """Single-utterance variant: signal [n_samples] -> dict of [T, ...]."""
     if state is not None:
         state = jax.tree.map(lambda x: x[None], state)
-    out, new_state = analyze_batch(signal[None], state, serving=serving)
+    out, new_state = analyze_batch(signal[None], state, serving=serving,
+                                   impl=impl)
     return (jax.tree.map(lambda x: x[0], out),
             jax.tree.map(lambda x: x[0], new_state))

@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from percepnet_tpu import constants as C
+from percepnet_tpu.ops.dispatch import resolve_impl
 
 _LANE = 128
 _TT = 128           # frames per full tile; tt*480 must divide by 128 (tt%4==0)
@@ -180,7 +181,8 @@ def _comb_gather(s_pad: jax.Array, period: jax.Array, x_offset: int):
 
 def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
                               x_offset: int,
-                              out_dtype=jnp.float32) -> jax.Array:
+                              out_dtype=jnp.float32,
+                              impl: str | None = None) -> jax.Array:
     """[B, T, WINDOW_SIZE] analysis-windowed comb outputs for a batch.
 
     Output = apply_window(comb taps sum), i.e. the windowed P buffer fed
@@ -195,8 +197,10 @@ def comb_filter_windows_batch(s_pad: jax.Array, period: jax.Array,
       out_dtype: output store dtype.  The serving tier passes bfloat16 so
         the kernel stores half the bytes and the downstream bf16 DFT needs
         no separate cast pass (accumulation stays f32 either way).
+      impl: explicit 'cpu' (XLA gather) / 'tpu' (Pallas rotate-extract)
+        tier; None auto-resolves (ops.dispatch).
     """
-    if jax.default_backend() == "tpu":
+    if resolve_impl(impl) == "tpu":
         return _comb_pallas(s_pad, period, x_offset, out_dtype)
     return _comb_gather(s_pad, period, x_offset).astype(out_dtype)
 

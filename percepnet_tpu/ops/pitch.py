@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from percepnet_tpu import constants as C
+from percepnet_tpu.ops.dispatch import resolve_impl
 
 HIGHEST = lax.Precision.HIGHEST
 
@@ -274,18 +275,18 @@ def _band_ones(n: int, length: int, n_out: int):
 
 
 def _window_energy(y: jax.Array, length: int, n_out: int,
-                   precision=HIGHEST) -> jax.Array:
+                   precision=HIGHEST, impl: str = "cpu") -> jax.Array:
     """W[b, j] = sum_{i<length} y[b, j+i]^2 for j < n_out.
 
-    CPU: cumsum-difference — its reduction order is what the strict parity
-    goldens were validated against (a different order flips borderline
-    pitch decisions; measured g/r 1.4e-3 vs the 1e-5 gate).
-    TPU: banded-ones MXU matmul, ~4x faster; TPU numerics already differ
-    from the CPU goldens at the same magnitude through matmul tiling, so
-    the tie-break behavior there is covered by the documented drift
-    bounds, not bit parity.
+    impl='cpu': cumsum-difference — its reduction order is what the strict
+    parity goldens were validated against (a different order flips
+    borderline pitch decisions; measured g/r 1.4e-3 vs the 1e-5 gate).
+    impl='tpu': banded-ones MXU matmul, ~4x faster; TPU numerics already
+    differ from the CPU goldens at the same magnitude through matmul
+    tiling, so the tie-break behavior there is covered by the documented
+    drift bounds, not bit parity.
     """
-    if jax.default_backend() == "tpu":
+    if impl == "tpu":
         band = jnp.asarray(_band_ones(y.shape[-1], length, n_out))
         return _mm(y * y, band, precision)
     y2 = y * y
@@ -294,13 +295,15 @@ def _window_energy(y: jax.Array, length: int, n_out: int,
     return c[..., length : length + n_out] - c[..., :n_out]
 
 
-def _sliding_energy(y: jax.Array, length: int, n_lags: int) -> jax.Array:
+def _sliding_energy(y: jax.Array, length: int, n_lags: int,
+                    impl: str = "cpu") -> jax.Array:
     """den[b, i] = max(1, 1 + sum_{j=i}^{i+length-1} y[b, j]^2), i < n_lags."""
-    return jnp.maximum(1.0, 1.0 + _window_energy(y, length, n_lags))
+    return jnp.maximum(1.0, 1.0 + _window_energy(y, length, n_lags,
+                                                 impl=impl))
 
 
 def _find_best_pitch(xcorr: jax.Array, y: jax.Array, length: int,
-                     den: jax.Array | None = None):
+                     den: jax.Array | None = None, impl: str = "cpu"):
     """Top-2 lags by normalized correlation score.
 
     Mirrors find_best_pitch: score_i = (xcorr_i*1e-12)^2 / Syy_i for
@@ -316,7 +319,7 @@ def _find_best_pitch(xcorr: jax.Array, y: jax.Array, length: int,
     """
     m = xcorr.shape[-1]
     if den is None:
-        den = _sliding_energy(y, length, m)
+        den = _sliding_energy(y, length, m, impl=impl)
     considered = xcorr > 0
     num = jnp.square(xcorr * 1e-12)
     score = jnp.where(considered, num / den, -1.0)
@@ -336,18 +339,20 @@ def _find_best_pitch(xcorr: jax.Array, y: jax.Array, length: int,
 # pitch_search (pitch.cpp:283-386)
 # --------------------------------------------------------------------------
 
-def full_xcorr(ds: jax.Array, precision=HIGHEST) -> jax.Array:
+def full_xcorr(ds: jax.Array, precision=HIGHEST,
+               impl: str | None = None) -> jax.Array:
     """xc_all[b, L] = sum_{j<480} ds[b, 384+j] * ds[b, 384-L+j], L <= 384.
 
     One batched correlation whose reversed output doubles as the
     reference's fine-search inner products (fine_xcorr[i] = xc_all[384-i])
     and as every lag lookup inside remove_doubling.
 
-    CPU: grouped-conv formulation (the reduction order the strict parity
-    goldens were validated against).  TPU: frequency-domain matmuls on
-    the MXU (see _corr_dft; decision parity audited on-chip).
+    impl='cpu': grouped-conv formulation (the reduction order the strict
+    parity goldens were validated against).  impl='tpu': frequency-domain
+    matmuls on the MXU (see _corr_dft; decision parity audited on-chip).
+    None auto-resolves; see ops.dispatch.
     """
-    if jax.default_backend() == "tpu":
+    if resolve_impl(impl) == "tpu":
         rev = _corr_dft(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1, precision)
     else:
         rev = _batched_corr(ds, ds[..., _X_OFF:], _MAX_PERIOD_H + 1)
@@ -355,7 +360,8 @@ def full_xcorr(ds: jax.Array, precision=HIGHEST) -> jax.Array:
 
 
 def pitch_search(ds: jax.Array, xc_all: jax.Array,
-                 w: jax.Array | None = None, precision=HIGHEST):
+                 w: jax.Array | None = None, precision=HIGHEST,
+                 impl: str | None = None):
     """Coarse->fine pitch search on the whitened half-rate signal.
 
     Args:
@@ -366,15 +372,16 @@ def pitch_search(ds: jax.Array, xc_all: jax.Array,
       (pitch_index, pitch_corr): [B] int32 period (already flipped to
       768 - pitch as in denoise.cpp:408) and [B] raw correlation value.
     """
+    impl = resolve_impl(impl)
     # --- coarse, 4x domain ---
     x4 = ds[..., _X_OFF::2][..., : _X_LEN // 2]        # 240
     lag4 = (C.PITCH_FRAME_SIZE + _MAX_PITCH) >> 2      # 387
     y4 = ds[..., 0 : 2 * lag4 : 2]                     # 387
-    if jax.default_backend() == "tpu":
+    if impl == "tpu":
         xcorr4 = _corr_dft(y4, x4, _COARSE_LAGS, precision)
     else:
         xcorr4 = _batched_corr(y4, x4, _COARSE_LAGS)
-    b0c, b1c = _find_best_pitch(xcorr4, y4, _X_LEN // 2)
+    b0c, b1c = _find_best_pitch(xcorr4, y4, _X_LEN // 2, impl=impl)
 
     # --- fine, 2x domain: only lags within +/-2 of 2*coarse candidates ---
     i = jnp.arange(_FINE_LAGS, dtype=jnp.int32)[None, :]
@@ -384,7 +391,7 @@ def pitch_search(ds: jax.Array, xc_all: jax.Array,
     den_fine = None
     if w is not None:
         den_fine = jnp.maximum(1.0, 1.0 + w[..., : _FINE_LAGS])
-    b0, _ = _find_best_pitch(xcorr2, ds, _X_LEN, den=den_fine)
+    b0, _ = _find_best_pitch(xcorr2, ds, _X_LEN, den=den_fine, impl=impl)
 
     # --- pseudo-interpolation (pitch.cpp:369-384) ---
     interp_idx = jnp.stack([jnp.maximum(b0 - 1, 0), b0,
@@ -406,13 +413,15 @@ def pitch_search(ds: jax.Array, xc_all: jax.Array,
 # remove_doubling (pitch.cpp:424-527)
 # --------------------------------------------------------------------------
 
-def forward_window_energies(ds: jax.Array, precision=HIGHEST) -> jax.Array:
+def forward_window_energies(ds: jax.Array, precision=HIGHEST,
+                            impl: str | None = None) -> jax.Array:
     """W[b, j] = sum_{i<480} ds[b, j+i]^2 for j <= 384.
 
     Shared between the yy lookup (reversed index) and the fine-search
     sliding energies (direct index) — one matmul serves both.
     """
-    return _window_energy(ds, _X_LEN, _MAX_PERIOD_H + 1, precision)
+    return _window_energy(ds, _X_LEN, _MAX_PERIOD_H + 1, precision,
+                          impl=resolve_impl(impl))
 
 
 def yy_lookup_table(ds: jax.Array,
@@ -570,21 +579,23 @@ def pitch_track(pitch_bufs: jax.Array,
                           init_period, init_gain)
 
 
-@partial(jax.jit, static_argnames=("precision",))
+@partial(jax.jit, static_argnames=("precision", "impl"))
 def pitch_track_ds(ds: jax.Array,
                    init_period: jax.Array | None = None,
                    init_gain: jax.Array | None = None,
-                   precision=HIGHEST):
+                   precision=HIGHEST, impl: str | None = None):
     """pitch_track given precomputed [T, 864] decimated+whitened frames
     (see downsample_frames_from_stream).
 
     precision: matmul tier for the xcorr / window-energy contractions —
     HIGHEST on the parity path; the bf16 serving frontend passes BF16
-    (decision flips audited on-chip by tools/check_tpu.py)."""
-    xc = full_xcorr(ds, precision)
-    w = forward_window_energies(ds, precision)
+    (decision flips audited on-chip by tools/check_tpu.py).
+    impl: explicit 'cpu'/'tpu' op tier (ops.dispatch; None auto)."""
+    impl = resolve_impl(impl)
+    xc = full_xcorr(ds, precision, impl=impl)
+    w = forward_window_energies(ds, precision, impl=impl)
     yy = yy_lookup_table(ds, w)
-    t0, corr = pitch_search(ds, xc, w, precision)
+    t0, corr = pitch_search(ds, xc, w, precision, impl=impl)
 
     pre = remove_doubling_precompute(xc, yy, t0)
 

@@ -53,7 +53,7 @@ def init_pipeline_state(batch: int = 1,
 def enhance_chunk(params: percepnet.PercepNetParams,
                   signal: jax.Array,
                   state: PipelineState, return_gr: bool = False,
-                  **model_kw):
+                  impl: str | None = None, **model_kw):
     """Enhance a batch of equal-length PCM chunks with carried state.
 
     Args:
@@ -63,6 +63,10 @@ def enhance_chunk(params: percepnet.PercepNetParams,
       state: carried PipelineState for the B streams.
       return_gr: also return the per-frame (g, r) predictions — the
         reference's `feature_test.raw` side channel (denoise.cpp:533-534).
+      impl: explicit 'cpu'/'tpu' op tier for the backend-specialized
+        frontend ops (ops.dispatch); None auto-resolves at trace time.
+        Entry points that jit should resolve it at setup and pass it
+        explicitly (the CLI/serve/bench do).
       model_kw: forwarded to percepnet.forward (e.g. compat activations,
         or compute_dtype=jnp.bfloat16 for the bf16 serving mode — pair it
         with init_pipeline_state(batch, model_dtype=jnp.bfloat16)).
@@ -78,9 +82,11 @@ def enhance_chunk(params: percepnet.PercepNetParams,
       a fresh stream are therefore silence-of-zeros, and the caller must
       keep feeding (or flush) to drain the lookahead.
     """
-    serving = model_kw.get("compute_dtype") is not None
+    # the serving tier is the bf16 MXU path specifically; an explicit
+    # compute_dtype=float32 must stay on the f32 HIGHEST parity frontend
+    serving = model_kw.get("compute_dtype") == jnp.bfloat16
     front, fstate = frontend.analyze_batch(signal, state.front,
-                                           serving=serving)
+                                           serving=serving, impl=impl)
     g, r, mstate = percepnet.forward(
         params, front["features"], state.model, **model_kw)
 

@@ -59,6 +59,8 @@ class StreamingServer:
             kw["compute_dtype"] = model_dtype
         if log1p_features:
             kw["log1p_features"] = True
+        from percepnet_tpu.ops.dispatch import resolve_impl
+        kw["impl"] = resolve_impl()   # pinned outside the jit
         self._model_dtype = model_dtype or jnp.float32
         if mesh is not None:
             from percepnet_tpu.parallel import mesh as pm

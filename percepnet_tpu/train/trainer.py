@@ -279,20 +279,24 @@ class Trainer:
         # stuck device op cannot be cancelled in-process, so the watchdog
         # hard-exits; a supervisor loop restarts the job and it resumes
         # exactly from the last interval checkpoint.
-        # Armed only once the first step COMPLETES (heartbeat stays None
-        # until then): a cold-cache first-step compile takes minutes
-        # through the remote-TPU tunnel and must not trip the watchdog.
-        heartbeat = {"t": None}
+        # Armed from loop entry: a tunnel hang DURING step 1 is the very
+        # failure mode observed in the field, so it must be caught too.
+        # The first step gets a generous deadline (cold-cache compiles
+        # take many minutes through the remote-TPU tunnel); the normal
+        # watchdog_secs applies once the first step completes and resets
+        # the heartbeat.
+        first_step_deadline = max(cfg.watchdog_secs or 0.0, 1800.0)
+        heartbeat = {"t": time.time(), "first": True}
         if cfg.watchdog_secs:
             import threading
 
             def _watch():
                 while not stop["now"]:
                     time.sleep(min(cfg.watchdog_secs / 4, 30.0))
-                    if heartbeat["t"] is None:
-                        continue
+                    limit = (first_step_deadline if heartbeat["first"]
+                             else cfg.watchdog_secs)
                     stale = time.time() - heartbeat["t"]
-                    if stale > cfg.watchdog_secs:
+                    if stale > limit:
                         log.error(
                             "watchdog: no step completed in %.0f s "
                             "(device hang?) — exiting for supervised "
@@ -315,12 +319,14 @@ class Trainer:
                 # dispatches — a wedged device happily accepts hundreds of
                 # async steps (observed) and would keep a dispatch-side
                 # heartbeat fresh.  The periodic sync also bounds how far
-                # the loop runs ahead.  Step 1 syncs unconditionally: it
-                # arms the watchdog only after compile+first step finish.
+                # the loop runs ahead.  Step 1 syncs unconditionally: its
+                # completion drops the watchdog from the generous
+                # first-step deadline to the steady-state one.
                 if (step == steps0 + 1
                         or step % min(50, cfg.log_interval_steps) == 0):
                     jax.block_until_ready(loss)
                     heartbeat["t"] = time.time()
+                    heartbeat["first"] = False
                 if step % cfg.log_interval_steps == 0:
                     dt = time.time() - t0
                     sps = (step - steps0) / max(dt, 1e-9)
