@@ -18,13 +18,31 @@ import hashlib
 
 
 def host_cpu_tag() -> str:
-    """Short stable hash of the host's CPU feature flags."""
+    """Short stable hash of the host's CPU identity.
+
+    Hashes the model identity lines (vendor/family/model/stepping/model
+    name) AND the feature flags.  Flags alone are not enough: LLVM derives
+    tuning pseudo-features like prefer-no-gather/prefer-no-scatter (the
+    Downfall gather-slowdown mitigation) from the CPU *model*, so two
+    hosts with identical CPUID flags but different models produce
+    incompatible AOT entries (observed 8/18: entries compiled with
+    +prefer-no-scatter loaded on a flags-identical host without it ->
+    enhance output collapsed to ~0)."""
     try:
         with open("/proc/cpuinfo") as f:
+            ident, flags = [], ""
             for line in f:
-                if line.startswith("flags"):
-                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.sha256(feats.encode()).hexdigest()[:8]
+                key = line.split(":", 1)[0].strip()
+                if key in ("vendor_id", "cpu family", "model",
+                           "model name", "stepping"):
+                    ident.append(line.strip())
+                elif key == "flags" and not flags:
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                if flags and len(ident) >= 5:
+                    break
+            if ident or flags:
+                blob = "|".join(sorted(set(ident))) + "||" + flags
+                return hashlib.sha256(blob.encode()).hexdigest()[:8]
     except OSError:
         pass
     import platform

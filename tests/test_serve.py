@@ -17,10 +17,19 @@ def test_server_matches_batch_pipeline():
     sig = 0.1 * np.asarray(
         jax.random.normal(jax.random.PRNGKey(1), (1, n_frames * C.FRAME_SIZE)))
 
+    # Reference at the SAME batch size as the server's slot pool (row 0 =
+    # signal, rows 1-2 silent): frame-at-a-time ticking vs one-shot must
+    # agree tightly.  Comparing against batch-1 instead trips the
+    # documented GRU batch-tiling reassociation (~1e-4..1e-3 by frame 8;
+    # see test_server_slot_lifecycle_and_isolation), which made this test
+    # order-dependent under different XLA:CPU code paths.
+    sig3 = np.zeros((3, n_frames * C.FRAME_SIZE), sig.dtype)
+    sig3[0] = sig[0]
     ref, _ = pipeline.enhance_chunk(
-        params, jnp.asarray(sig), pipeline.init_pipeline_state(1))
+        params, jnp.asarray(sig3), pipeline.init_pipeline_state(3))
 
     sid = srv.attach()
+    assert sid == 0
     got = []
     for t in range(n_frames):
         srv.submit(sid, sig[0, t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE])
