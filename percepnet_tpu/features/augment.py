@@ -44,8 +44,9 @@ def biquad(x: np.ndarray, b, a, mem=None) -> np.ndarray:
       m1   =      (b1*x[i] - a1*y[i])
 
     i.e. H(z) = (1 + b0 z^-1 + b1 z^-2) / (1 + a0 z^-1 + a1 z^-2).
-    Vectorized via scipy's C lfilter when available; a small-loop NumPy
-    fallback keeps the function dependency-free for short signals.
+    Vectorized via scipy's C lfilter when available; without scipy, an
+    exact log-depth affine-scan fallback (O(n log n) batched 2x2 ops, no
+    Python-per-sample loop — featgen-sweep safe).
     """
     b_full = np.array([1.0, b[0], b[1]], np.float64)
     a_full = np.array([1.0, a[0], a[1]], np.float64)
@@ -53,15 +54,37 @@ def biquad(x: np.ndarray, b, a, mem=None) -> np.ndarray:
         from scipy.signal import lfilter
         y = lfilter(b_full, a_full, np.asarray(x, np.float64))
     except ImportError:
-        x = np.asarray(x, np.float64)
-        y = np.empty_like(x)
-        m0 = m1 = 0.0
-        for i in range(len(x)):
-            yi = x[i] + m0
-            m0 = m1 + (b[0] * x[i] - a[0] * yi)
-            m1 = b[1] * x[i] - a[1] * yi
-            y[i] = yi
+        y = _biquad_scan(np.asarray(x, np.float64), b, a)
     return y.astype(np.float32)
+
+
+def _biquad_scan(x: np.ndarray, b, a) -> np.ndarray:
+    """Exact biquad via parallel prefix over the state recurrence.
+
+    Substituting y[i] = x[i] + m0[i-1] into the memory updates gives the
+    linear state recurrence s[i] = A s[i-1] + c*x[i] with s = (m0, m1),
+    A = [[-a0, 1], [-a1, 0]], c = (b0-a0, b1-a1).  The affine maps
+    (A, c*x[i]) compose associatively, so an inclusive prefix by pointer
+    doubling yields every state in ceil(log2 n) vectorized passes; with
+    zero initial memory the accumulated offsets ARE the states.
+    """
+    n = len(x)
+    if n == 0:
+        return x.copy()
+    A = np.array([[-a[0], 1.0], [-a[1], 0.0]], np.float64)
+    c = np.array([b[0] - a[0], b[1] - a[1]], np.float64)
+    M = np.broadcast_to(A, (n, 2, 2)).copy()
+    v = x[:, None] * c                       # [n, 2]
+    shift = 1
+    while shift < n:
+        # compose element i with element i-shift (prefix doubling)
+        Mh, Ml = M[shift:], M[:-shift]
+        v[shift:] += np.einsum("nij,nj->ni", Mh, v[:-shift])
+        M[shift:] = np.einsum("nij,njk->nik", Mh, Ml)
+        shift *= 2
+    y = x.copy()
+    y[1:] += v[:-1, 0]                       # y[i] = x[i] + m0[i-1]
+    return y
 
 
 def rand_resp(rng: np.random.Generator):

@@ -8,11 +8,13 @@ stream's carried DenoiseState pytree; attaching a stream claims a slot
 are occupied — occupancy only affects which outputs are surfaced, so there
 is no recompilation as streams come and go.
 
-Capacity planning (measured, one v5e chip): the batched tick costs
-1.5 / 1.5 / 2.0 ms compute+dispatch at 64 / 128 / 256 slots — 256
-concurrent real-time streams with 5x headroom against the 10 ms budget on
-a co-located TPU host.  (Through a remote device tunnel the per-tick
-host<->device transfers dominate instead; batch frames per submit there.)
+Capacity planning (measured round 3 on one v5e chip, BEFORE the serving
+frontend's bf16/comb-store commits — re-measure with
+tools/check_tpu.py): the batched tick cost 1.5 / 1.5 / 2.0 ms
+compute+dispatch at 64 / 128 / 256 slots — 256 concurrent real-time
+streams with 5x headroom against the 10 ms budget on a co-located TPU
+host.  (Through a remote device tunnel the per-tick host<->device
+transfers dominate instead; batch frames per submit there.)
 
 Usage:
     srv = StreamingServer(params, capacity=64)

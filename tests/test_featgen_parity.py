@@ -56,7 +56,9 @@ def test_records_parity(pipeline):
         clean_out["exp"])
     r_diff = np.abs(rec[:, 104:138] - ref[:, 104:138])
     flips = np.argwhere(r_diff > 0.02)
-    assert len(flips) <= 3
+    # pinned: exactly the one root-caused flip — any second flip (or a
+    # disappearance of this one) means the coherence numerics moved
+    assert len(flips) == 1 and tuple(flips[0]) == (123, 22), flips
     for t, b in flips:
         assert abs(margin[t, b]) < 5e-4, (
             f"r flip at frame {t} band {b} with non-borderline "
@@ -143,3 +145,11 @@ def test_biquad_matches_reference_recurrence():
         m1 = b[1] * float(x[i]) - a[1] * yi
         ref[i] = yi
     np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-4)
+    # the scipy-free prefix-doubling fallback must match the recurrence
+    # exactly too (it is what a featgen sweep gets without scipy)
+    ys = augment._biquad_scan(np.asarray(x, np.float64), b, a)
+    np.testing.assert_allclose(ys, ref, rtol=1e-5, atol=1e-4)
+    for n in (0, 1, 2, 3):   # degenerate lengths
+        xs = np.asarray(x[:n], np.float64)
+        np.testing.assert_allclose(
+            augment._biquad_scan(xs, b, a), ref[:n], rtol=1e-5, atol=1e-4)
