@@ -41,8 +41,11 @@ if [ "$stage" -le 2 ]; then
     n="$work/pcm/$(basename "$noisy_dir")/$id"
     [ -f "$n" ] && echo "$c $n $frames_per_utt" >> "$work/pairs.txt"
   done
+  # AUGMENT=1 adds the per-pair random level gain + biquad channel
+  # response (the reference's dormant augmentation, denoise.cpp:670-718);
+  # draws are seeded per pair index, so shards stay consistent
   python -m percepnet_tpu featgen --pairs-file "$work/pairs.txt" \
-      --out-dir "$work/feats"
+      --out-dir "$work/feats" ${AUGMENT:+--augment}
 fi
 
 if [ "$stage" -le 3 ]; then
