@@ -141,3 +141,43 @@ def test_evaluate_pair_aligns_lagging_output(tmp_path):
     m = evaluate_pair(cp, ep)
     assert m["si_sdr_db"] > 30
     assert m["stoi"] > 0.99
+
+
+def test_host_cpu_tag_keys_on_model_identity(tmp_path, monkeypatch):
+    """The compile-cache tag must change when the CPU MODEL changes even if
+    the feature flags are identical: LLVM derives tuning pseudo-features
+    (prefer-no-gather/scatter, the Downfall mitigation) from the model, and
+    flags-identical hosts produced incompatible AOT entries after a live
+    migration (enhance output collapsed to ~0 — see utils/cache.py)."""
+    import builtins
+
+    from percepnet_tpu.utils import cache
+
+    real_open = builtins.open
+
+    def fake_cpuinfo(text):
+        def _open(path, *a, **k):
+            if path == "/proc/cpuinfo":
+                p = tmp_path / "cpuinfo"
+                p.write_text(text)
+                return real_open(p, *a, **k)
+            return real_open(path, *a, **k)
+        return _open
+
+    flags = "flags\t: fpu vme avx avx2 avx512f\n"
+    host_a = ("vendor_id\t: GenuineIntel\nmodel\t\t: 143\n"
+              "model name\t: Intel(R) Xeon(R) Platinum 8481C\n"
+              "stepping\t: 8\n" + flags)
+    host_b = ("vendor_id\t: GenuineIntel\nmodel\t\t: 207\n"
+              "model name\t: Intel(R) Xeon(R) Platinum 8581C\n"
+              "stepping\t: 2\n" + flags)
+
+    monkeypatch.setattr(builtins, "open", fake_cpuinfo(host_a))
+    tag_a = cache.host_cpu_tag()
+    tag_a2 = cache.host_cpu_tag()
+    monkeypatch.setattr(builtins, "open", fake_cpuinfo(host_b))
+    tag_b = cache.host_cpu_tag()
+    assert tag_a == tag_a2          # stable on one host
+    assert tag_a != tag_b           # model change -> new cache dir
+    assert cache.cache_dir("cpu").endswith(tag_b)
+    assert cache.cache_dir(None) == "/tmp/jax_cache_tpu"  # TPU unkeyed
