@@ -14,6 +14,9 @@ drives those against their reference formulations on the device:
      pitch periods vs the C binary (the TPU banded-matmul window energies
      have different tie-breaks than the CPU cumsum; this measures how many
      period decisions actually flip, and their downstream feature effect)
+  7. serving-tier (bf16 frontend) pitch-decision audit on the same set
+  8. serve tick cost at 64/128/256 slots vs the 10 ms real-time budget
+     (DCE-safe chained scan; the README capacity claim)
 """
 import os
 import sys
@@ -145,6 +148,40 @@ def main():
         f"{flips_srv} pitch-period flips in serving tier")
     # band-energy features in bf16: ~0.4% relative is the expected level
     assert np.median(drift_srv) < 0.02, float(np.median(drift_srv))
+
+    # 8. serve tick cost vs the 10 ms real-time budget (README capacity
+    # claim).  DCE-safe: K ticks chained through the carried state inside
+    # ONE jit with a perturbed frame, every output consumed; this is the
+    # on-device compute+dispatch cost per tick — through a remote tunnel
+    # the per-tick host<->device transfers come on top (serve.py).
+    from percepnet_tpu.ops.dispatch import resolve_impl
+    kw = dict(compute_dtype=jnp.bfloat16, impl=resolve_impl())
+    k_ticks = 50
+    for cap in (64, 128, 256):
+        frame0 = 0.05 * jax.random.normal(jax.random.PRNGKey(8),
+                                          (cap, 480), jnp.float32)
+
+        @jax.jit
+        def ticks(frame, st):
+            def body(carry, i):
+                f, s = carry
+                pcm, s = pipeline.enhance_chunk(
+                    params, f + 1e-6 * i, s, **kw)
+                return (f, s), jnp.sum(pcm)
+            (_, st), acc = jax.lax.scan(
+                body, (frame, st), jnp.arange(k_ticks, dtype=jnp.float32))
+            return st, jnp.sum(acc)
+
+        st8 = pipeline.init_pipeline_state(cap, model_dtype=jnp.bfloat16)
+        st8, acc = ticks(frame0, st8)      # compile + warmup
+        jax.block_until_ready(acc)
+        t0 = time.perf_counter()
+        st8, acc = ticks(frame0, st8)
+        jax.block_until_ready(acc)
+        tick_ms = (time.perf_counter() - t0) / k_ticks * 1e3
+        print(f"8. serve tick @{cap} slots: {tick_ms:.2f} ms on-device "
+              f"({'OK' if tick_ms < 10 else 'OVER'} vs 10 ms budget)")
+        assert tick_ms < 10.0, (cap, tick_ms)
     print("TPU CHECKS OK")
 
 
