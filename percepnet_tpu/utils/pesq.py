@@ -153,6 +153,8 @@ def pesq_like(clean: np.ndarray, degraded: np.ndarray,
     # speech-active frames of the reference drive the equalizations
     frame_pow = pr.sum(-1)
     active = frame_pow > 1e-2 * np.max(frame_pow)
+    if not active.any():        # silent reference: score undefined
+        return float("nan")
 
     # partial frequency-response equalization: per-band mean ratio over
     # active frames, clipped to +/-20 dB, applied to the reference

@@ -128,3 +128,38 @@ def test_pesq_like_behavior():
     assert s0 < 2.0
     delayed = np.concatenate([np.zeros(4800), x])[:n]
     assert abs(pesq_like(x, delayed) - pesq_like(x, x)) < 0.1
+
+
+def test_pesq_like_silent_reference_is_nan_not_warning():
+    """A silent reference has no defined quality score: explicit NaN, no
+    numpy empty-slice warnings (observed leaking into quality_gate JSON)."""
+    import warnings
+
+    from percepnet_tpu.utils.pesq import pesq_like
+    rng = np.random.default_rng(0)
+    deg = rng.normal(0, 100, 48000)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        score = pesq_like(np.zeros(48000), deg)
+    assert np.isnan(score)
+
+
+def test_synth_dns_finite_for_tiny_tail_segments():
+    """A 1-sample tail segment used to produce 0/0 in the f0 drift track
+    (t[-1]=0) and NaN the WHOLE utterance, which int16-cast to an all-zero
+    pair (observed: fileid_4029).  Every synth output must be finite and
+    non-silent."""
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "synth_dns", os.path.join(os.path.dirname(__file__), os.pardir,
+                                  "tools", "synth_dns.py"))
+    sd = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sd)
+
+    rng = np.random.default_rng(1)
+    seg = sd._voiced_segment(1, 120.0, rng)   # the degenerate length
+    assert np.isfinite(seg).all()
+    for seed in range(3):
+        clean, noisy, _ = sd.make_pair(1.0, np.random.default_rng(seed))
+        assert np.count_nonzero(clean) > 0 and np.count_nonzero(noisy) > 0

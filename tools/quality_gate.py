@@ -65,6 +65,11 @@ def main(argv=None):
             y = np.fromfile(os.path.join(args.noisy_dir, n + ".pcm"),
                             "<i2").astype(np.float32)
             m = min(len(c), len(y))
+            if float(np.sum(c[:m] ** 2)) < 1.0:
+                # a silent clean reference carries no enhancement
+                # information and would sort FIRST (SNR -> -inf),
+                # polluting the gate with 0.0 STOI rows
+                return float("inf")
             den = float(np.sum((y[:m] - c[:m]) ** 2)) + 1e-9
             return 10.0 * np.log10(float(np.sum(c[:m] ** 2)) / den + 1e-12)
         names = sorted(names, key=baseline_snr)
@@ -94,7 +99,9 @@ def main(argv=None):
         enhance_files(params, noisys, outs, model_dtype=model_dtype,
                       raw_scale=True, log1p_features=args.log1p)
         rows = [evaluate_pair(c, o) for c, o in zip(cleans, outs)]
-        mean = {k: round(float(np.mean([r[k] for r in rows])), 4)
+        # nanmean: pesq_like is undefined (NaN) on a silent reference;
+        # one degenerate pair must not NaN the corpus mean
+        mean = {k: round(float(np.nanmean([r[k] for r in rows])), 4)
                 for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like_uncal")}
         return mean, rows
 
@@ -104,7 +111,7 @@ def main(argv=None):
     report = {
         "pairs": len(names),
         "noisy_baseline": {
-            k: round(float(np.mean([r[k] for r in baseline])), 4)
+            k: round(float(np.nanmean([r[k] for r in baseline])), 4)
             for k in ("stoi", "si_sdr_db", "snr_db", "pesq_like_uncal")},
         "f32": f32_mean,
         "per_pair": [
@@ -128,7 +135,17 @@ def main(argv=None):
         report["f32"]["stoi"] >= report["noisy_baseline"]["stoi"]
         and report["f32"]["si_sdr_db"] > report["noisy_baseline"]["si_sdr_db"])
 
-    print(json.dumps(report))
+    def _json_safe(x):
+        """NaN -> null so the emitted line stays strict JSON."""
+        if isinstance(x, dict):
+            return {k: _json_safe(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [_json_safe(v) for v in x]
+        if isinstance(x, float) and not np.isfinite(x):
+            return None
+        return x
+
+    print(json.dumps(_json_safe(report), allow_nan=False))
     ok = report["enhancement_ok"] and report.get("bf16_gate_ok", True)
     return 0 if ok else 1
 

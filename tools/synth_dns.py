@@ -53,7 +53,11 @@ def _voiced_segment(n: int, f0_base: float, rng: np.random.Generator):
     vibr = rng.uniform(0.0, 0.03) * np.sin(
         2 * np.pi * rng.uniform(4, 7) * t + rng.uniform(0, 6.28))
     jitter = 0.01 * np.cumsum(rng.normal(0, 1, n)) / np.sqrt(np.arange(1, n + 1))
-    f0 = f0_base * (1 + drift * t / t[-1] + vibr + jitter)
+    # t[-1] is 0 for a 1-sample tail segment; 0/0 there NaN'd the f0
+    # track, and the NaN propagated through the utterance normalization,
+    # zeroing the WHOLE pair on int16 cast (observed: fileid_4029)
+    f0 = f0_base * (1 + drift * t / max(float(t[-1]), 1.0 / FS) + vibr
+                    + jitter)
     phase = np.cumsum(f0) / FS
     saw = 2.0 * (phase % 1.0) - 1.0           # all harmonics, 1/k rolloff
     return _formant_filter(saw, rng)
@@ -157,6 +161,9 @@ def make_pair(seconds: float, rng: np.random.Generator,
     p_noise = np.mean(noise**2) + 1e-12
     noise = noise * np.sqrt(p_clean / p_noise * 10 ** (-snr_db / 10))
     noisy = clean + noise
+    assert np.isfinite(clean).all() and np.isfinite(noisy).all(), \
+        "non-finite synth output — a silent/garbage pair would poison " \
+        "featgen records and the quality gate"
     # common peak scale -> int16 with headroom (raw-amplitude contract)
     scale = 20000.0 / max(np.max(np.abs(noisy)), np.max(np.abs(clean)), 1e-9)
     to16 = lambda x: np.clip(x * scale, -32768, 32767).astype("<i2")
