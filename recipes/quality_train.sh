@@ -74,5 +74,6 @@ for exp in exp_log1p exp_log1p_lin; do
   python tools/quality_gate.py \
     --weights "$work/$exp/checkpoint-$c.npz" \
     --clean-dir "$work/clean" --noisy-dir "$work/noisy" \
+    --dev-filelist "$work/lists/dev_filelist.txt" \
     --limit 6 --order snr --log1p | tee "$work/$exp/quality.json"
 done
