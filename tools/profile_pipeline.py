@@ -86,9 +86,13 @@ def main(argv=None):
 
     report("pitch", chained_time(f_pitch, s_pad, iters=args.iters))
 
-    # pitch sub-stages (serving-relevant ranking)
+    # pitch sub-stages (serving-relevant ranking).  The real pipeline
+    # vmaps pitch_track_ds over B, so each op sees [T, 864] rows; the
+    # flat [B*T, 864] view here is the identical contraction for the MXU
+    # path and keeps the CPU grouped-conv path's 2D contract.
     ds0 = jax.jit(lambda s: pitch.downsample_frames_from_stream(
         s, T, frontend._PITCH_OFF))(s_pad)
+    ds0 = ds0.reshape(-1, ds0.shape[-1])
     report("  downsample", chained_time(
         lambda s: pitch.downsample_frames_from_stream(
             s, T, frontend._PITCH_OFF), s_pad, iters=args.iters))
