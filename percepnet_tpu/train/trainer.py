@@ -282,10 +282,13 @@ class Trainer:
         # Armed from loop entry: a tunnel hang DURING step 1 is the very
         # failure mode observed in the field, so it must be caught too.
         # The first step gets a generous deadline (cold-cache compiles
-        # take many minutes through the remote-TPU tunnel); the normal
-        # watchdog_secs applies once the first step completes and resets
-        # the heartbeat.
-        first_step_deadline = max(cfg.watchdog_secs or 0.0, 1800.0)
+        # take 10-20 min through the remote-TPU tunnel, PLUS device-
+        # resident corpus staging); the normal watchdog_secs applies once
+        # the first step completes and resets the heartbeat.  Scaled off
+        # watchdog_secs (x4) so a slow environment can extend step-1
+        # tolerance without also blunting steady-state hang detection;
+        # the recipe supervisor's outer `timeout` remains the backstop.
+        first_step_deadline = max(4 * (cfg.watchdog_secs or 0.0), 3600.0)
         heartbeat = {"t": time.time(), "first": True}
         if cfg.watchdog_secs:
             import threading

@@ -44,7 +44,9 @@ timeout 2400 python -m percepnet_tpu enhance /tmp/r4_stream_in.pcm \
 echo "streaming bf16 rc=$?"; tail -3 /tmp/r4_stream_latency_bf16.log
 
 echo "== D: quality training recipe $(date -u)"
-recipes/quality_train.sh work/dns > /tmp/r4_quality_train.log 2>&1
+# --wait-tpu: if the tunnel died again during stages A-C, poll until it
+# answers instead of burning supervise()'s 4 h timeouts on hung inits
+recipes/quality_train.sh work/dns --wait-tpu > /tmp/r4_quality_train.log 2>&1
 echo "quality_train rc=$?"
 tail -5 /tmp/r4_quality_train.log
 

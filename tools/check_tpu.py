@@ -179,8 +179,30 @@ def main():
         st8, acc = ticks(frame0, st8)
         jax.block_until_ready(acc)
         tick_ms = (time.perf_counter() - t0) / k_ticks * 1e3
+
+        # the REAL serve loop pays one dispatch + host transfer per tick
+        # (StreamingServer.step); measure it too.  Through a remote
+        # tunnel this is dominated by ~3-5 ms dispatch RTT — report
+        # both, but gate only the on-device cost (the dispatch share is
+        # a property of the host link, not of this code; co-located
+        # hosts see the compute number plus <1 ms).
+        from percepnet_tpu.serve import StreamingServer
+        srv = StreamingServer(params, capacity=cap,
+                              model_dtype=jnp.bfloat16)
+        sid = srv.attach()
+        f_np = np.asarray(frame0[0])
+        srv.submit(sid, f_np)
+        srv.step()                          # warmup (reuses the jit)
+        t0 = time.perf_counter()
+        n_real = 20
+        for _ in range(n_real):
+            srv.submit(sid, f_np)
+            srv.step()
+        real_ms = (time.perf_counter() - t0) / n_real * 1e3
         print(f"8. serve tick @{cap} slots: {tick_ms:.2f} ms on-device "
-              f"({'OK' if tick_ms < 10 else 'OVER'} vs 10 ms budget)")
+              f"compute ({'OK' if tick_ms < 10 else 'OVER'} vs 10 ms "
+              f"budget); full step() incl. dispatch+transfers: "
+              f"{real_ms:.2f} ms")
         assert tick_ms < 10.0, (cap, tick_ms)
     print("TPU CHECKS OK")
 

@@ -67,13 +67,24 @@ def main(argv=None):
             m = min(len(c), len(y))
             if float(np.sum(c[:m] ** 2)) < 1.0:
                 # a silent clean reference carries no enhancement
-                # information and would sort FIRST (SNR -> -inf),
-                # polluting the gate with 0.0 STOI rows
+                # information and would sort FIRST (SNR -> -inf)
                 return float("inf")
             den = float(np.sum((y[:m] - c[:m]) ** 2)) + 1e-9
             return 10.0 * np.log10(float(np.sum(c[:m] ** 2)) / den + 1e-12)
         names = sorted(names, key=baseline_snr)
     names = names[: args.limit]
+
+    # EXCLUDE (not just sort-demote) silent-clean pairs from the selected
+    # set: their si_sdr is -inf and one such pair drives the nanmean of
+    # both baseline and enhanced to -inf, failing the gate for any model
+    def clean_energy(n):
+        c = np.fromfile(os.path.join(args.clean_dir, n + ".pcm"), "<i2")
+        return float(np.sum(c.astype(np.float64) ** 2))
+    kept = [n for n in names if clean_energy(n) >= 1.0]
+    if len(kept) < len(names):
+        print(f"quality_gate: dropped {len(names) - len(kept)} "
+              f"silent-clean pair(s)", file=sys.stderr)
+    names = kept
     cleans = [os.path.join(args.clean_dir, n + ".pcm") for n in names]
     noisys = [os.path.join(args.noisy_dir, n + ".pcm") for n in names]
 
