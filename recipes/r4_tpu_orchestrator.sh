@@ -44,6 +44,12 @@ timeout 2400 python -m percepnet_tpu enhance /tmp/r4_stream_in.pcm \
 echo "streaming bf16 rc=$?"; tail -3 /tmp/r4_stream_latency_bf16.log
 
 echo "== D: quality training recipe $(date -u)"
+# The CPU hedge fine-tune (recipes/quality_train_cpu.sh) shares the
+# host's single core; stop it (exact recorded PIDs only) once the real
+# TPU recipe takes over.
+if [ -f /tmp/r4_cpu_train.pid ]; then
+  while read -r pid; do kill "$pid" 2>/dev/null; done < /tmp/r4_cpu_train.pid
+fi
 # --wait-tpu: if the tunnel died again during stages A-C, poll until it
 # answers instead of burning supervise()'s 4 h timeouts on hung inits
 recipes/quality_train.sh work/dns --wait-tpu > /tmp/r4_quality_train.log 2>&1
@@ -51,14 +57,20 @@ echo "quality_train rc=$?"
 tail -5 /tmp/r4_quality_train.log
 
 echo "== E: one-command gate on the trained checkpoint $(date -u)"
-best=$(ls work/dns/exp_log1p_lin/checkpoint-*.npz 2>/dev/null \
-       | sed 's/.*checkpoint-//; s/\.npz//' | sort -n | tail -1)
+# newest checkpoint, preferring stage 2 > stage 1 > the CPU hedge, so a
+# partially-completed recipe (late tunnel return) still gets gated
+best=""
+for exp in exp_log1p_lin exp_log1p exp_log1p_cpu; do
+  c=$(ls work/dns/$exp/checkpoint-*.npz 2>/dev/null \
+      | sed 's/.*checkpoint-//; s/\.npz//' | sort -n | tail -1)
+  if [ -n "$c" ]; then best="work/dns/$exp/checkpoint-$c.npz"; break; fi
+done
 if [ -n "$best" ]; then
   timeout 7200 python tools/check_all.py --log1p \
-      --weights "work/dns/exp_log1p_lin/checkpoint-$best.npz" \
+      --weights "$best" \
       > /tmp/r4_check_all.log 2>&1
-  echo "check_all rc=$?"; tail -2 /tmp/r4_check_all.log
+  echo "check_all ($best) rc=$?"; tail -2 /tmp/r4_check_all.log
 else
-  echo "no exp_log1p_lin checkpoint - check_all skipped"
+  echo "no exp_log1p* checkpoint - check_all skipped"
 fi
 echo "== orchestrator done $(date -u)"
