@@ -41,11 +41,23 @@ run_group() {
   return $rc
 }
 
-echo "== A: bench"
-timeout 2400 python bench.py > /tmp/r4_bench_bf16.json 2>/tmp/r4_bench_bf16.err
-echo "bench bf16 rc=$? : $(cat /tmp/r4_bench_bf16.json 2>/dev/null)"
-timeout 2400 python bench.py --f32 > /tmp/r4_bench_f32.json 2>/tmp/r4_bench_f32.err
-echo "bench f32 rc=$? : $(cat /tmp/r4_bench_f32.json 2>/dev/null)"
+echo "== A: bench (budget $(budget)s)"
+# Cap at the remaining budget: if the tunnel answered minutes before
+# round end, OUR bench must not hold the chip through the DRIVER's.
+bud_a=$(budget); [ "$bud_a" -gt 2400 ] && bud_a=2400
+if [ "$bud_a" -ge 120 ]; then
+  timeout $(( bud_a - 60 )) python bench.py > /tmp/r4_bench_bf16.json 2>/tmp/r4_bench_bf16.err
+  echo "bench bf16 rc=$? : $(cat /tmp/r4_bench_bf16.json 2>/dev/null)"
+else
+  echo "budget too small - bench skipped (driver's bench takes priority)"
+fi
+bud_a=$(budget); [ "$bud_a" -gt 2400 ] && bud_a=2400
+if [ "$bud_a" -ge 120 ]; then
+  timeout $(( bud_a - 60 )) python bench.py --f32 > /tmp/r4_bench_f32.json 2>/tmp/r4_bench_f32.err
+  echo "bench f32 rc=$? : $(cat /tmp/r4_bench_f32.json 2>/dev/null)"
+else
+  echo "budget too small - f32 bench skipped"
+fi
 
 echo "== B: check_tpu (budget $(budget)s)"
 if [ "$(budget)" -ge 1200 ]; then
