@@ -66,8 +66,8 @@ def _tile_rows(tt: int, x_offset: int) -> int:
     return -(-rows // 8) * 8
 
 
-def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
-                 sem):
+def _comb_kernel(x_offset, tt, blocked, p_ref, s_hbm, vorbis_ref, out_ref,
+                 scratch, sem):
     w = [float(v) for v in C.comb_hann_window()]
     b = pl.program_id(0)
     ti = pl.program_id(1)
@@ -86,7 +86,7 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
     # bit-identical result)
     vorbis = vorbis_ref[:, :]
 
-    def one(t):
+    def acc_for(t):
         p = p_ref[0, 0, t]
         base = t * C.FRAME_SIZE + x_offset
         acc = jnp.zeros((n_rows, _LANE), jnp.float32)
@@ -102,19 +102,34 @@ def _comb_kernel(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref, scratch,
             shifted = jnp.where(lane < _LANE - sh, rot[:n_rows],
                                 rot[1 : n_rows + 1])
             acc = acc + w[kk] * shifted
-        acc = acc * vorbis
-        out_ref[0, t, :] = acc.reshape(
-            1, n_rows * _LANE)[0, : C.WINDOW_SIZE].astype(out_ref.dtype)
+        return (acc * vorbis).reshape(1, n_rows * _LANE)
 
-    # 4-frame unroll amortizes loop/address overhead (-22% measured)
-    unroll = 4 if tt % 4 == 0 else 1
+    if blocked:
+        # 16-bit stores: Mosaic requires the dynamic sublane index of a
+        # packed-dtype store to be provably 8-aligned (a single-row store
+        # at dynamic t fails to compile), so accumulate 8 frames and store
+        # one aligned [8, 960] block at row i*8.
+        def body(i, _):
+            blk = jnp.concatenate([acc_for(i * 8 + j) for j in range(8)], 0)
+            out_ref[0, pl.ds(i * 8, 8), :] = (
+                blk[:, : C.WINDOW_SIZE].astype(out_ref.dtype))
+            return 0
 
-    def body(i, _):
-        for j in range(unroll):
-            one(i * unroll + j)
-        return 0
+        lax.fori_loop(0, tt // 8, body, 0)
+    else:
+        def one(t):
+            out_ref[0, t, :] = acc_for(t)[0, : C.WINDOW_SIZE].astype(
+                out_ref.dtype)
 
-    lax.fori_loop(0, tt // unroll, body, 0)
+        # 4-frame unroll amortizes loop/address overhead (-22% measured)
+        unroll = 4 if tt % 4 == 0 else 1
+
+        def body(i, _):
+            for j in range(unroll):
+                one(i * unroll + j)
+            return 0
+
+        lax.fori_loop(0, tt // unroll, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("x_offset", "out_dtype"))
@@ -140,8 +155,14 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int,
     p = jnp.pad(period, ((0, 0), (0, t_pad - t)),
                 constant_values=C.PITCH_MIN_PERIOD)[:, None, :]
 
+    # 16-bit dtypes need 8-aligned block stores (see _comb_kernel); tiles
+    # not divisible by 8 (short/streaming calls) store f32 and cast after.
+    narrow = jnp.dtype(out_dtype).itemsize < 4
+    blocked = narrow and tt % 8 == 0
+    store_dtype = out_dtype if (not narrow or blocked) else jnp.float32
+
     out = pl.pallas_call(
-        functools.partial(_comb_kernel, x_offset, tt),
+        functools.partial(_comb_kernel, x_offset, tt, blocked),
         grid=(bsz, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, tt), lambda b, i: (b, 0, i),
@@ -154,13 +175,14 @@ def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int,
                                lambda b, i: (b, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, t_pad, C.WINDOW_SIZE),
-                                       out_dtype),
+                                       store_dtype),
         scratch_shapes=[
             pltpu.VMEM((tile_rows, _LANE), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )(p, s2, jnp.asarray(_vorbis_rows_np()))
-    return out[:, :t, :]
+    out = out[:, :t, :]
+    return out if store_dtype == out_dtype else out.astype(out_dtype)
 
 
 def _comb_gather(s_pad: jax.Array, period: jax.Array, x_offset: int):

@@ -14,12 +14,18 @@ echo "== orchestrator start $(date -u)"
 # The chip is single-tenant and the driver runs bench.py at round end: any
 # process still holding it then turns BENCH_r04 into another rc!=0 (that
 # is exactly how round 3 lost its headline number).  Derive the round
-# deadline from the first round-4 tick in PROGRESS.jsonl (12 h rounds)
-# and keep a 25 min margin so the chip is free for the driver's bench.
-DEADLINE=$(python3 - <<'PY'
-import json
-ticks = [json.loads(l) for l in open("PROGRESS.jsonl") if '"round": 4' in l]
-print(int(ticks[0]["ts"]) + 12 * 3600 - 1500)
+# start from the LAST round tick's (ts - wall_s) — wall_s resets when the
+# driver restarts (observed 8/18: VM replaced mid-round, /tmp and work/
+# wiped), so the first tick's ts can belong to a dead driver run.  Round
+# length via ROUND_SECS (default 5 h); keep a 25 min margin so the chip
+# is free for the driver's bench.
+DEADLINE=$(python3 - <<PY
+import json, os
+ticks = [json.loads(l) for l in open("PROGRESS.jsonl")
+         if '"round"' in l]
+last = ticks[-1]
+start = last["ts"] - last["wall_s"]
+print(int(start) + int(os.environ.get("ROUND_SECS", 5 * 3600)) - 1500)
 PY
 )
 budget() { echo $(( DEADLINE - $(date +%s) )); }
@@ -77,6 +83,17 @@ else
 fi
 
 echo "== C: streaming latency (budget $(budget)s)"
+# Latency is weight-value-independent; fall back to init weights when the
+# trained checkpoints were lost with the VM (observed 8/18).
+LAT_W=work/dns/exp8k/checkpoint-12000.npz
+[ -f "$LAT_W" ] || LAT_W=work/init_weights.npz
+[ -f "$LAT_W" ] || PERCEPNET_PLATFORM=cpu python - <<'PYEOF2'
+import jax
+jax.config.update("jax_platforms", "cpu")
+from percepnet_tpu.models.percepnet import init_params
+from percepnet_tpu.train.checkpoint import save_params_npz
+save_params_npz("work/init_weights.npz", init_params(jax.random.PRNGKey(0)))
+PYEOF2
 if [ "$(budget)" -lt 1200 ]; then echo "budget too small - streaming skipped"; else
 python - <<'PYEOF'
 import numpy as np
@@ -85,12 +102,12 @@ x = (0.05 * rng.normal(size=4*48000) * 32768).astype(np.int16)
 x.tofile("/tmp/r4_stream_in.pcm")
 PYEOF
 timeout 2400 python -m percepnet_tpu enhance /tmp/r4_stream_in.pcm \
-    /tmp/r4_stream_out.pcm --weights work/dns/exp8k/checkpoint-12000.npz \
+    /tmp/r4_stream_out.pcm --weights "$LAT_W" \
     --streaming --report-latency \
     > /tmp/r4_stream_latency.log 2>&1
 echo "streaming rc=$?"; tail -3 /tmp/r4_stream_latency.log
 timeout 2400 python -m percepnet_tpu enhance /tmp/r4_stream_in.pcm \
-    /tmp/r4_stream_out_bf16.pcm --weights work/dns/exp8k/checkpoint-12000.npz \
+    /tmp/r4_stream_out_bf16.pcm --weights "$LAT_W" \
     --streaming --bf16 --report-latency \
     > /tmp/r4_stream_latency_bf16.log 2>&1
 echo "streaming bf16 rc=$?"; tail -3 /tmp/r4_stream_latency_bf16.log
@@ -116,6 +133,12 @@ elif [ "$bud_d" -ge 1800 ]; then
   # Late tunnel: one combined stage (log1p + gain MSE), warm-started from
   # the best raw checkpoint, checkpointing every 500 steps; the deadline
   # kill saves a preemption checkpoint and stage E gates the newest one.
+  # Warm-start only if the raw checkpoint survived (the 8/18 VM wipe
+  # deleted work/); from-scratch log1p training still converges — the
+  # warm start only carries GRU/head steps.
+  PRE=()
+  [ -f work/dns/exp8k/checkpoint-12000.npz ] && \
+    PRE=(--pretrain work/dns/exp8k/checkpoint-12000.npz)
   for attempt in 1 2 3 4 5; do
     [ "$(budget)" -le 2700 ] && break
     echo "== exp_log1p_fast attempt $attempt $(date -u)"
@@ -125,7 +148,7 @@ elif [ "$bud_d" -ge 1800 ]; then
         --dev-filelist work/dns/lists/dev_filelist.txt \
         --config configs/dns_log1p_tpu_fast.yaml \
         --out-dir work/dns/exp_log1p_fast \
-        --pretrain work/dns/exp8k/checkpoint-12000.npz \
+        "${PRE[@]}" \
         --device-data-mb 9216
     rc=$?; echo "train rc=$rc"
     [ $rc -eq 0 ] && break

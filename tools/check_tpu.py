@@ -52,7 +52,19 @@ def main():
         o2 = jax.jit(comb._comb_gather, static_argnums=2)(pad, per, 2400)
         err = float(jnp.max(jnp.abs(o1 - o2)))
         assert err < 1e-6, (t, err)
-    print("1. comb Pallas kernel matches gather (bit-level)")
+        # bf16 store tier (blocked 8-row stores for t>=5, f32-store
+        # fallback at t=1): the f32 accumulation is bit-identical (above),
+        # but Mosaic's in-kernel f32->bf16 pack can round ties differently
+        # from XLA's convert — allow exactly one bf16 ULP (bit-adjacent
+        # representations), which the bf16 consumers are insensitive to.
+        o1h = comb._comb_pallas(pad, per, 2400, jnp.bfloat16)
+        b1 = np.asarray(o1h).view(np.int16).astype(np.int32)
+        b2 = (np.asarray(o2.astype(jnp.bfloat16))
+              .view(np.int16).astype(np.int32))
+        ulp = int(np.max(np.abs(b1 - b2)))
+        assert ulp <= 1, (t, ulp)
+    print("1. comb Pallas kernel matches gather (f32 bit-level, "
+          "bf16 <=1 ULP)")
 
     # 2. window energies: matmul (TPU) vs cumsum reference values
     ds = jax.random.normal(jax.random.PRNGKey(3), (1024, 864))
