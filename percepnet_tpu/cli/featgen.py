@@ -104,6 +104,11 @@ def main(argv=None):
     ap.add_argument("--augment-seed", type=int, default=0)
     ap.add_argument("--augment-highpass", action="store_true",
                     help="with --augment: also the fixed DC high-pass")
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="skip pairs whose output .f32 already exists at "
+                         "the full size (resume a killed sweep; augment "
+                         "draws stay per-job-index, so the records are "
+                         "identical to an uninterrupted run)")
     args = ap.parse_args(argv)
 
     from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
@@ -129,6 +134,13 @@ def main(argv=None):
     # job index BEFORE sharding, so augmentation draws are shard-invariant
     jobs = [(i,) + j for i, j in enumerate(jobs)]
     jobs = jobs[args.shard_id :: args.num_shards]
+    if args.skip_existing:
+        # 138 float32 fields per frame (denoise.cpp:761-773)
+        done = [j for j in jobs if os.path.isfile(j[4])
+                and os.path.getsize(j[4]) == j[3] * 138 * 4]
+        if done:
+            print(f"--skip-existing: {len(done)}/{len(jobs)} already done")
+        jobs = [j for j in jobs if j not in set(done)]
 
     def maybe_augment(idx, clean, noisy):
         if not args.augment:

@@ -165,7 +165,7 @@ if [ ! -f "$WORK/lists/train_filelist.txt" ] || \
     run_group $(( $(budget) - 2700 > 3600 ? 3600 : $(budget) - 2700 )) \
       /tmp/r5_featgen.log \
       python -m percepnet_tpu featgen --pairs-file "$WORK/pairs.txt" \
-        --out-dir "$WORK/feats"
+        --out-dir "$WORK/feats" --skip-existing
     echo "featgen rc=$?"; tail -2 /tmp/r5_featgen.log
     python -m percepnet_tpu split-dataset "$WORK/feats" \
       --out-dir "$WORK/lists" --frac 0.8 > /tmp/r5_split.log 2>&1

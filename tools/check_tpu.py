@@ -53,18 +53,21 @@ def main():
         err = float(jnp.max(jnp.abs(o1 - o2)))
         assert err < 1e-6, (t, err)
         # bf16 store tier (blocked 8-row stores for t>=5, f32-store
-        # fallback at t=1): the f32 accumulation is bit-identical (above),
-        # but Mosaic's in-kernel f32->bf16 pack can round ties differently
-        # from XLA's convert — allow exactly one bf16 ULP (bit-adjacent
-        # representations), which the bf16 consumers are insensitive to.
+        # fallback at t=1): the f32-store and bf16-store builds are
+        # DIFFERENT Mosaic compilations (the analysis-window multiply is
+        # folded into the store), so their f32 values can differ within
+        # the accumulation tolerance above — at near-zero elements that
+        # is many bf16 ULPs in int16-view distance (observed 7 at t=100
+        # on chip).  Gate instead on float error vs the gather reference:
+        # <= 1 bf16 ULP relative (2^-8 |x|, covering the in-kernel pack
+        # rounding) + the established f32 accumulation tolerance.
         o1h = comb._comb_pallas(pad, per, 2400, jnp.bfloat16)
-        b1 = np.asarray(o1h).view(np.int16).astype(np.int32)
-        b2 = (np.asarray(o2.astype(jnp.bfloat16))
-              .view(np.int16).astype(np.int32))
-        ulp = int(np.max(np.abs(b1 - b2)))
-        assert ulp <= 1, (t, ulp)
+        d = np.abs(np.asarray(o1h, np.float32) - np.asarray(o2))
+        bound = 2.0 ** -8 * np.abs(np.asarray(o2)) + 2e-6
+        worst = float(np.max(d - bound))
+        assert worst <= 0, (t, worst, float(d.max()))
     print("1. comb Pallas kernel matches gather (f32 bit-level, "
-          "bf16 <=1 ULP)")
+          "bf16 <=1 ULP rel + f32 accum tol)")
 
     # 2. window energies: matmul (TPU) vs cumsum reference values
     ds = jax.random.normal(jax.random.PRNGKey(3), (1024, 864))
