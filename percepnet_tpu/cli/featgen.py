@@ -106,10 +106,19 @@ def main(argv=None):
                     help="with --augment: also the fixed DC high-pass")
     ap.add_argument("--skip-existing", action="store_true",
                     help="skip pairs whose output .f32 already exists at "
-                         "the full size (resume a killed sweep; augment "
-                         "draws stay per-job-index, so the records are "
-                         "identical to an uninterrupted run)")
+                         "the full size AND whose .meta sidecar records the "
+                         "same generation settings (resume a killed sweep; "
+                         "augment draws stay per-job-index, so the records "
+                         "are identical to an uninterrupted run; files "
+                         "without a sidecar are regenerated)")
     args = ap.parse_args(argv)
+
+    # Generation-settings signature, written to a `<out>.meta` sidecar so
+    # --skip-existing never silently mixes records produced under different
+    # flags (or an older record format) into one training set.
+    sig = "v1 augment=%d seed=%d highpass=%d postfilter=%d" % (
+        args.augment, args.augment_seed, args.augment_highpass,
+        not args.no_postfilter)
 
     from percepnet_tpu.io.pcm import read_pcm16, write_pcm16
 
@@ -135,12 +144,24 @@ def main(argv=None):
     jobs = [(i,) + j for i, j in enumerate(jobs)]
     jobs = jobs[args.shard_id :: args.num_shards]
     if args.skip_existing:
-        # 138 float32 fields per frame (denoise.cpp:761-773)
-        done = [j for j in jobs if os.path.isfile(j[4])
-                and os.path.getsize(j[4]) == j[3] * 138 * 4]
+        def is_done(j):
+            # 138 float32 fields per frame (denoise.cpp:761-773)
+            if not (os.path.isfile(j[4])
+                    and os.path.getsize(j[4]) == j[3] * 138 * 4):
+                return False
+            try:
+                with open(j[4] + ".meta") as f:
+                    return f.read().strip() == sig
+            except OSError:
+                return False  # no sidecar: unknown settings -> regenerate
+        done = [j for j in jobs if is_done(j)]
         if done:
             print(f"--skip-existing: {len(done)}/{len(jobs)} already done")
         jobs = [j for j in jobs if j not in set(done)]
+
+    def write_meta(out_p):
+        with open(out_p + ".meta", "w") as f:
+            f.write(sig + "\n")
 
     def maybe_augment(idx, clean, noisy):
         if not args.augment:
@@ -167,6 +188,7 @@ def main(argv=None):
                     apply_postfilter=not args.no_postfilter)
                 for rec, (_, _, _, _, out_p) in zip(recs, chunk):
                     rec.astype(np.float32).tofile(out_p)
+                    write_meta(out_p)
                 print(f"{chunk[0][4]} .. {chunk[-1][4]}: "
                       f"{len(chunk)} x {cnt} frames", flush=True)
         return
@@ -177,6 +199,7 @@ def main(argv=None):
             clean, noisy, cnt,
             apply_postfilter=not args.no_postfilter, oracle=args.test)
         records.astype(np.float32).tofile(out_p)
+        write_meta(out_p)
         print(f"{out_p}: {records.shape[0]} frames")
         if test is not None:
             base = os.path.dirname(out_p) or "."

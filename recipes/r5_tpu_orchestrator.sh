@@ -33,12 +33,20 @@ FRAMES_PER_UTT=2000                # 20 s at 48 kHz / 480-sample frames
 # when the driver restarts — and keep a 25 min margin so the chip is free
 # for the driver's bench.  Round length via ROUND_SECS (default 5 h).
 DEADLINE=$(python3 - <<PY
-import json, os
+import json, os, sys, time
+round_secs = int(os.environ.get("ROUND_SECS", 5 * 3600))
 ticks = [json.loads(l) for l in open("PROGRESS.jsonl")
          if '"round"' in l]
 last = ticks[-1]
 start = last["ts"] - last["wall_s"]
-print(int(start) + int(os.environ.get("ROUND_SECS", 5 * 3600)) - 1500)
+# A tick written before a driver restart belongs to the PREVIOUS round:
+# trusting it would make the budget hugely negative (or stale).  Fall
+# back to "now" as the round start when the derived start is too old.
+if time.time() - start > round_secs:
+    print(f"WARN: stale PROGRESS tick (round start {int(start)} is "
+          f"> ROUND_SECS ago); using now as round start", file=sys.stderr)
+    start = time.time()
+print(int(start) + round_secs - 1500)
 PY
 )
 budget() { echo $(( DEADLINE - $(date +%s) )); }
@@ -60,20 +68,42 @@ run_group() {
 
 echo "== 0: corpus (CPU, background)"
 SYNTH_PID=""
+# A synth killed mid-pair can leave a truncated clean pcm or a clean
+# without its noisy twin; drop any incomplete pairs BEFORE counting so
+# they are regenerated rather than silently excluded forever, and resume
+# from max(fileid)+1 (not the file count) so non-contiguous ids never
+# collide with existing pairs.
+next_idx=$(python3 - "$WORK" <<'PY'
+import glob, os, re, sys
+work = sys.argv[1]
+hi = -1
+for c in glob.glob(os.path.join(work, "clean", "fileid_*.pcm")):
+    i = int(re.search(r"fileid_(\d+)\.pcm$", c).group(1))
+    n = os.path.join(work, "noisy", f"fileid_{i}.pcm")
+    if not (os.path.isfile(n)
+            and os.path.getsize(n) == os.path.getsize(c) > 0):
+        for p in (c, n):
+            if os.path.isfile(p):
+                os.remove(p)
+        print(f"dropped incomplete pair fileid_{i}", file=sys.stderr)
+        continue
+    hi = max(hi, i)
+print(hi + 1)
+PY
+)
 n_clean=$(ls "$WORK"/clean/fileid_*.pcm 2>/dev/null | wc -l)
-if [ "$n_clean" -lt "$SYNTH_PAIRS" ]; then
+if [ "$next_idx" -lt "$SYNTH_PAIRS" ]; then
   mkdir -p "$WORK"
-  # --start-index picks up where a previous (killed) synth stopped;
   # seed 0 + start-index keeps draws per-pair deterministic only from 0,
   # so a resumed run reseeds by start index to avoid duplicate pairs.
   setsid nice -n 10 python tools/synth_dns.py "$WORK" \
-      --pairs $(( SYNTH_PAIRS - n_clean )) --start-index "$n_clean" \
-      --seconds 20 --seed $(( n_clean + 1 )) \
+      --pairs $(( SYNTH_PAIRS - next_idx )) --start-index "$next_idx" \
+      --seconds 20 --seed $(( next_idx + 1 )) \
       > /tmp/r5_synth.log 2>&1 &
   SYNTH_PID=$!
-  echo "synth regen: $n_clean -> $SYNTH_PAIRS pairs (pgid $SYNTH_PID)"
+  echo "synth regen: $next_idx -> $SYNTH_PAIRS pairs (pgid $SYNTH_PID)"
 else
-  echo "corpus present ($n_clean pairs)"
+  echo "corpus present ($n_clean pairs, next id $next_idx)"
 fi
 
 echo "== A: bench (budget $(budget)s)"

@@ -59,15 +59,18 @@ def main():
         # the accumulation tolerance above — at near-zero elements that
         # is many bf16 ULPs in int16-view distance (observed 7 at t=100
         # on chip).  Gate instead on float error vs the gather reference:
-        # <= 1 bf16 ULP relative (2^-8 |x|, covering the in-kernel pack
-        # rounding) + the established f32 accumulation tolerance.
+        # a HALF-ULP (round-to-nearest) bf16 bound (2^-8 |x| — Mosaic's
+        # f32->bf16 pack rounds to nearest; if a future toolchain
+        # truncates instead, the true bound is 1 ULP = 2^-7 |x| and a
+        # failure here at large |x| means pack rounding, not a kernel
+        # bug) + the established f32 accumulation tolerance.
         o1h = comb._comb_pallas(pad, per, 2400, jnp.bfloat16)
         d = np.abs(np.asarray(o1h, np.float32) - np.asarray(o2))
         bound = 2.0 ** -8 * np.abs(np.asarray(o2)) + 2e-6
         worst = float(np.max(d - bound))
         assert worst <= 0, (t, worst, float(d.max()))
     print("1. comb Pallas kernel matches gather (f32 bit-level, "
-          "bf16 <=1 ULP rel + f32 accum tol)")
+          "bf16 half-ULP rel + f32 accum tol)")
 
     # 2. window energies: matmul (TPU) vs cumsum reference values
     ds = jax.random.normal(jax.random.PRNGKey(3), (1024, 864))
