@@ -8,20 +8,25 @@ stream's carried DenoiseState pytree; attaching a stream claims a slot
 are occupied — occupancy only affects which outputs are surfaced, so there
 is no recompilation as streams come and go.
 
-Capacity planning (measured round 3 on one v5e chip, BEFORE the serving
-frontend's bf16/comb-store commits — re-measure with
-tools/check_tpu.py): the batched tick cost 1.5 / 1.5 / 2.0 ms
-compute+dispatch at 64 / 128 / 256 slots — 256 concurrent real-time
-streams with 5x headroom against the 10 ms budget on a co-located TPU
-host.  (Through a remote device tunnel the per-tick host<->device
-transfers dominate instead; batch frames per submit there.)
+Capacity planning (measured round 4 on one v5e chip, check_tpu #8): the
+batched tick COMPUTES in 0.63 / 0.70 / 1.56 ms at 64 / 128 / 256 slots —
+256 concurrent real-time streams with >6x headroom against the 10 ms
+budget on a co-located TPU host.  Through a remote device tunnel the
+per-tick dispatch+transfers dominate instead (30-60 ms full `step()` at
+the same slot counts): set `frames_per_tick=N` so ONE dispatch advances
+every stream N frames, amortizing the fixed per-dispatch cost N-fold at
+the price of N*10 ms of added buffering latency (the reference runtime
+has neither knob nor need — one stream, in-process, main.cpp:30-39).
 
 Usage:
-    srv = StreamingServer(params, capacity=64)
+    srv = StreamingServer(params, capacity=64)   # frames_per_tick=1
     sid = srv.attach()
     out = srv.submit(sid, frame)     # stage one 10 ms frame
     outs = srv.step()                # advance ALL streams one frame
     srv.detach(sid)
+
+With frames_per_tick=N, `submit` stages N*480 samples per stream and
+`step` returns N frames per stream, still in one dispatch.
 """
 
 from __future__ import annotations
@@ -43,15 +48,21 @@ class StreamingServer:
     """
 
     def __init__(self, params, capacity: int = 64, *, compat: bool = False,
-                 mesh=None, model_dtype=None, log1p_features: bool = False):
+                 mesh=None, model_dtype=None, log1p_features: bool = False,
+                 frames_per_tick: int = 1):
         """mesh: optional jax.sharding mesh — slots shard across chips
         (capacity must be divisible by the mesh size), params replicate,
         and the tick becomes one SPMD step over all chips.
         model_dtype: jnp.bfloat16 serves the NN in bf16 (quality gate:
         tools/quality_gate.py).
         log1p_features: required for checkpoints trained with the log1p
-        input compression (models.percepnet.compress_features)."""
+        input compression (models.percepnet.compress_features).
+        frames_per_tick: frames advanced per `step()` dispatch — raise it
+        on dispatch-dominated (remote-tunnel) links to amortize the fixed
+        per-dispatch cost; adds frames_per_tick*10 ms buffering latency."""
         self.capacity = capacity
+        assert frames_per_tick >= 1
+        self.frames_per_tick = frames_per_tick
         kw = {}
         if compat:
             from percepnet_tpu.ops.activations import sigmoid_approx, \
@@ -89,7 +100,8 @@ class StreamingServer:
         self._zero_state = jax.tree.map(jnp.copy, self._state)
         self._free = list(range(capacity))[::-1]
         self._active: set[int] = set()
-        self._inbuf = np.zeros((capacity, C.FRAME_SIZE), np.float32)
+        self._inbuf = np.zeros(
+            (capacity, frames_per_tick * C.FRAME_SIZE), np.float32)
 
     # --- stream lifecycle -------------------------------------------------
     def attach(self) -> int:
@@ -114,12 +126,15 @@ class StreamingServer:
 
     # --- ticking ----------------------------------------------------------
     def submit(self, sid: int, frame: np.ndarray) -> None:
-        """Stage one 10 ms frame (480 float samples, /32768 scale)."""
+        """Stage one tick of audio: frames_per_tick*480 float samples
+        (/32768 scale); shorter submissions are zero-padded."""
         assert sid in self._active, f"stream {sid} not attached"
-        self._inbuf[sid, : len(frame)] = frame[: C.FRAME_SIZE]
+        n = self._inbuf.shape[1]
+        self._inbuf[sid, : min(len(frame), n)] = frame[:n]
 
     def step(self) -> dict[int, np.ndarray]:
-        """Advance every stream one frame; returns {sid: enhanced_frame}.
+        """Advance every stream frames_per_tick frames in ONE dispatch;
+        returns {sid: enhanced samples [frames_per_tick*480]}.
 
         Slots without a submitted frame step on silence (their state
         still advances, like a dropped packet).

@@ -90,6 +90,42 @@ def test_server_slot_lifecycle_and_isolation():
                                np.asarray(ref_solo)[0], atol=2e-3)
 
 
+def test_server_frames_per_tick():
+    """N-frames-per-submit batched tick == per-frame tick, stream-aligned.
+
+    frames_per_tick amortizes the fixed per-dispatch cost on remote-tunnel
+    links (serve.py module docstring); the T=4 tick and the T=8 one-shot
+    are different XLA compilations, so the bound is the documented
+    cross-graph GRU-amplification level (see
+    test_server_matches_batch_pipeline).
+    """
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+    srv = StreamingServer(params, capacity=2, frames_per_tick=4)
+    n_frames = 8
+    sig = 0.1 * np.asarray(jax.random.normal(
+        jax.random.PRNGKey(1), (n_frames * C.FRAME_SIZE,)), np.float32)
+
+    sig2 = np.zeros((2, n_frames * C.FRAME_SIZE), np.float32)
+    sig2[0] = sig
+    ref, _ = pipeline.enhance_chunk(
+        params, jnp.asarray(sig2), pipeline.init_pipeline_state(2))
+
+    sid = srv.attach()
+    tick = 4 * C.FRAME_SIZE
+    got = []
+    for t in range(n_frames // 4):
+        srv.submit(sid, sig[t * tick : (t + 1) * tick])
+        out = srv.step()[sid]
+        assert out.shape == (tick,)
+        got.append(out)
+    got = np.concatenate(got)
+    ref0 = np.asarray(ref)[0]
+    np.testing.assert_allclose(got, ref0, atol=2e-3)
+    corr = np.corrcoef(got[2 * C.FRAME_SIZE :],
+                       ref0[2 * C.FRAME_SIZE :])[0, 1]
+    assert corr > 0.9999, corr
+
+
 def test_server_over_device_mesh():
     """Slots shard across the 8-device mesh; behavior matches single-device."""
     from percepnet_tpu.parallel import mesh as pm

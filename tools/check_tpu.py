@@ -222,6 +222,31 @@ def main():
               f"budget); full step() incl. dispatch+transfers: "
               f"{real_ms:.2f} ms")
         assert tick_ms < 10.0, (cap, tick_ms)
+
+        # frames_per_tick amortization: through a dispatch-dominated link
+        # (this tunnel: 30-60 ms/step at these slot counts), one N-frame
+        # submit spreads the fixed dispatch cost over N frames.  Gate the
+        # per-frame-equivalent full step() under the 10 ms budget at the
+        # largest slot count.
+        if cap == 256:
+            n_ft = 8
+            srv_b = StreamingServer(params, capacity=cap,
+                                    model_dtype=jnp.bfloat16,
+                                    frames_per_tick=n_ft)
+            sid_b = srv_b.attach()
+            f_big = np.tile(f_np, n_ft)
+            srv_b.submit(sid_b, f_big)
+            srv_b.step()                    # warmup/compile
+            t0 = time.perf_counter()
+            for _ in range(n_real):
+                srv_b.submit(sid_b, f_big)
+                srv_b.step()
+            batch_ms = (time.perf_counter() - t0) / n_real / n_ft * 1e3
+            print(f"8b. serve step @{cap} slots, frames_per_tick={n_ft}: "
+                  f"{batch_ms:.2f} ms per frame-equivalent incl. "
+                  f"dispatch+transfers "
+                  f"({'OK' if batch_ms < 10 else 'OVER'} vs 10 ms budget)")
+            assert batch_ms < 10.0, (cap, n_ft, batch_ms)
     print("TPU CHECKS OK")
 
 
