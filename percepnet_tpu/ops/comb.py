@@ -132,6 +132,109 @@ def _comb_kernel(x_offset, tt, blocked, p_ref, s_hbm, vorbis_ref, out_ref,
         lax.fori_loop(0, tt // unroll, body, 0)
 
 
+def _comb_kernel_v2(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref,
+                    scratch, sem):
+    """Row-layout store variant: the [8, 128] accumulator is stored AS-IS
+    at 8-aligned sublanes of a [tt*8, 128] output block — no per-frame
+    (8,128)->(1,1152) sublane-to-lane relayout and no lane-ragged
+    [1, 960] store (960 = 7.5 vregs), the two per-frame costs of the v1
+    kernel.  The flat view out.reshape(T, 1024)[:, :960] is row-major
+    identical to the v1 window (lanes 960..1023 carry window-zeroed
+    garbage the wrapper slices off).  One code path for f32 AND 16-bit
+    stores (always 8-aligned), so both builds share the accumulation
+    schedule.  Same tile DMA as v1."""
+    w = [float(v) for v in C.comb_hann_window()]
+    b = pl.program_id(0)
+    ti = pl.program_id(1)
+    tile_rows = scratch.shape[0]
+    rows_per_tile = tt * C.FRAME_SIZE // _LANE
+    dma = pltpu.make_async_copy(
+        s_hbm.at[b, pl.ds(ti * rows_per_tile, tile_rows), :],
+        scratch, sem)
+    dma.start()
+    dma.wait()
+
+    n_rows = C.WINDOW_SIZE // _LANE + 1                 # 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, _LANE), 1)
+    vorbis = vorbis_ref[:, :]
+
+    def acc_for(t):
+        p = p_ref[0, 0, t]
+        base = t * C.FRAME_SIZE + x_offset
+        acc = jnp.zeros((n_rows, _LANE), jnp.float32)
+        for kk in range(2 * C.COMB_M + 1):
+            start = base - p * (kk - C.COMB_M)
+            row = start // _LANE
+            sh = start % _LANE
+            chunk = scratch[pl.ds(row, _WIN_ROWS), :]   # [9, 128]
+            rot = pltpu.roll(chunk, (_LANE - sh) % _LANE, axis=1)
+            shifted = jnp.where(lane < _LANE - sh, rot[:n_rows],
+                                rot[1 : n_rows + 1])
+            acc = acc + w[kk] * shifted
+        return acc * vorbis                             # [8, 128]
+
+    unroll = 4 if tt % 4 == 0 else 1
+
+    def body(i, _):
+        for j in range(unroll):
+            t = i * unroll + j
+            out_ref[0, pl.ds(t * n_rows, n_rows), :] = (
+                acc_for(t).astype(out_ref.dtype))
+        return 0
+
+    lax.fori_loop(0, tt // unroll, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("x_offset", "out_dtype"))
+def _comb_pallas_v2(s_pad: jax.Array, period: jax.Array, x_offset: int,
+                    out_dtype=jnp.float32):
+    """v2 kernel wrapper: s_pad [B, n_pad], period [B, T] -> [B, T, 960].
+
+    The kernel writes [B, t_pad*8, 128]; the row-major reshape to
+    [B, t_pad, 1024] is layout-free and the :960 lane slice fuses into
+    the downstream DFT-matmul operand read."""
+    bsz, t = period.shape
+    tt = _pick_tt(t)
+    n_tiles = -(-t // tt)
+    t_pad = n_tiles * tt
+    tile_rows = _tile_rows(tt, x_offset)
+    rows_per_tile = tt * C.FRAME_SIZE // _LANE
+    rows_needed = (n_tiles - 1) * rows_per_tile + tile_rows
+    n_pad = rows_needed * _LANE
+
+    s = s_pad
+    if s.shape[1] < n_pad:
+        s = jnp.pad(s, ((0, 0), (0, n_pad - s.shape[1])))
+    else:
+        s = s[:, :n_pad]
+    s2 = s.reshape(bsz, rows_needed, _LANE)
+    p = jnp.pad(period, ((0, 0), (0, t_pad - t)),
+                constant_values=C.PITCH_MIN_PERIOD)[:, None, :]
+
+    n_rows = C.WINDOW_SIZE // _LANE + 1                 # 8
+    out = pl.pallas_call(
+        functools.partial(_comb_kernel_v2, x_offset, tt),
+        grid=(bsz, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, tt), lambda b, i: (b, 0, i),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, _LANE), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tt * n_rows, _LANE),
+                               lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, t_pad * n_rows, _LANE),
+                                       out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile_rows, _LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(p, s2, jnp.asarray(_vorbis_rows_np()))
+    return out.reshape(bsz, t_pad, n_rows * _LANE)[:, :t, : C.WINDOW_SIZE]
+
+
 @functools.partial(jax.jit, static_argnames=("x_offset", "out_dtype"))
 def _comb_pallas(s_pad: jax.Array, period: jax.Array, x_offset: int,
                  out_dtype=jnp.float32):
