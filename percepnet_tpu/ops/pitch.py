@@ -252,10 +252,21 @@ def downsample_frames_from_stream(s_pad: jax.Array, n_frames: int,
     xo = s_pad[..., offset + 1 : end : C.FRAME_SIZE]
     col0 = 0.25 * xo + 0.5 * xe
 
+    # Gather-free framing: every frame is a CONTIGUOUS 864-sample slice
+    # at hop 240, so 4 static 240-chunk slices + a reshape cover it
+    # (chunks t..t+3 span 960 >= 864) — pure data movement, values
+    # bit-identical to an index take, and no TPU element-gather lowering
+    # (~10 cycles/element) anywhere in the path.
     hop2 = C.FRAME_SIZE // 2
-    idx = (jnp.arange(n_frames)[:, None] * hop2 + offset // 2
-           + jnp.arange(_DS_LEN)[None, :])
-    dsf = jax.vmap(lambda s: jnp.take(s, idx, axis=0))(ds_stream)
+    off2 = offset // 2
+    need = off2 + (n_frames + 3) * hop2
+    ds_c = ds_stream
+    if ds_c.shape[-1] < need:
+        ds_c = jnp.pad(ds_c, [(0, 0)] * (ds_c.ndim - 1)
+                       + [(0, need - ds_c.shape[-1])])
+    r = ds_c[..., off2:need].reshape(*ds_c.shape[:-1], n_frames + 3, hop2)
+    dsf = jnp.concatenate([r[..., t : n_frames + t, :] for t in range(4)],
+                          axis=-1)[..., :_DS_LEN]
     dsf = jnp.concatenate([col0[..., None], dsf[..., 1:]], axis=-1)
     return _whiten(dsf)
 

@@ -63,6 +63,21 @@ def main(argv=None):
         print(f"{name} bf16 worst over half-ULP bound: {worst:.3g}")
         assert worst <= 0, (name, worst)
 
+    # Root-cause probe for the round-4 check-1 anomaly (VERDICT weak #2):
+    # if the bf16-store discrepancy is accumulation-SCHEDULE drift between
+    # the per-frame and 8-row-blocked Mosaic builds (v1), then a variant
+    # whose f32 and bf16 builds share one store path (v2) must satisfy
+    # bf16_out == round_to_nearest_bf16(f32_out) EXACTLY.
+    import numpy as np
+    for name, fn in variants.items():
+        f32v = np.asarray(fn(pad_s, per_s, jnp.float32))
+        b16v = np.asarray(fn(pad_s, per_s, jnp.bfloat16))
+        expect = f32v.astype(jnp.bfloat16)
+        n_diff = int(np.sum(b16v.view(np.uint16)
+                            != np.asarray(expect).view(np.uint16)))
+        print(f"{name}: bf16 store == rn(f32 store) exactly? "
+              f"{n_diff == 0} ({n_diff} mismatched elements)")
+
     for name, fn in variants.items():
         for dt, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
             ms = chained_time(lambda s: fn(s, per, dt), pad,
