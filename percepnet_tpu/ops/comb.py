@@ -142,7 +142,20 @@ def _comb_kernel_v2(x_offset, tt, p_ref, s_hbm, vorbis_ref, out_ref,
     identical to the v1 window (lanes 960..1023 carry window-zeroed
     garbage the wrapper slices off).  One code path for f32 AND 16-bit
     stores (always 8-aligned), so both builds share the accumulation
-    schedule.  Same tile DMA as v1."""
+    schedule.  Same tile DMA as v1.
+
+    On-chip A/B (tools/bench_comb.py, v5e, B=512 T=200): v2 LOSES to v1
+    (23.4 vs 21.1 ms f32, 22.3 vs 20.0 ms bf16) — the relayout/ragged
+    stores it removes are cheaper than its extra per-frame store issue,
+    so v1 stays the dispatch default.  Both kernels sit at the
+    alignment-inclusive VPU floor: per tap-frame the dynamic unaligned
+    960-wide window REQUIRES 9 lane-rotates + 8 selects on top of the 8
+    FMA rows (~25 vreg ops vs 8 for pure FMA), which is why the measured
+    21 ms is ~3.4x the pure-FMA bound in tools/flop_bound.py and cannot
+    approach it on this ISA.  v2's value is diagnostic: with ONE store
+    path for f32 and bf16 it proved (probe in bench_comb.py) that bf16
+    stores are exactly rn(f32) for BOTH kernels — the round-4 check-1
+    store divergence does not reproduce post-f79cc42."""
     w = [float(v) for v in C.comb_hann_window()]
     b = pl.program_id(0)
     ti = pl.program_id(1)

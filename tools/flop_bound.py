@@ -189,6 +189,13 @@ def main(argv=None):
     out = jax.eval_shape(f_comb, *cargs)
     add("comb", _hlo_flops(f_comb, *cargs),
         _tree_bytes(cargs) + _tree_bytes(out), "hlo", hi)
+    # The FLOP/byte bound above is NOT reachable for the comb windows:
+    # each dynamic pitch shift forces per-vreg alignment work the FLOP
+    # count doesn't see.  ISA floor per frame: 7 taps x (9 lane-rotates +
+    # 8 selects + 8 FMAs on [8,128] vregs) + 8 window muls ~= 183 vreg
+    # ops; at ~1 vreg op/cycle (measured) that is the real comb floor —
+    # printed below so the efficiency column is read against it.
+    comb_isa_floor_s = B * T * (7 * 25 + 8) / 0.94e9
 
     # --- model: analytic (scan over T) ----------------------------------
     from percepnet_tpu.models import percepnet as M
@@ -258,6 +265,10 @@ def main(argv=None):
         rows.append(row)
     print(f"{'TOTAL (sum of bounds)':28s} {'':8s} {'':8s} {'':7s} {'':8s} "
           f"{total_bound * 1e3:6.2f}ms {audio_s / total_bound:10.0f}")
+    print(f"# comb ISA floor (alignment-inclusive, ~183 vreg-ops/frame "
+          f"@ ~1/cycle): {comb_isa_floor_s * 1e3:.1f} ms — the reachable "
+          f"comb bound; the FLOP row above ignores mandatory "
+          f"rotate+select alignment (ops/comb.py kernel docstring)")
     print("* analytic count (XLA cost model counts scan bodies once); "
           "stages are jitted separately so cross-stage fusion is not "
           "modeled; min bytes assume perfect in-stage fusion.")
