@@ -49,7 +49,7 @@ class StreamingServer:
 
     def __init__(self, params, capacity: int = 64, *, compat: bool = False,
                  mesh=None, model_dtype=None, log1p_features: bool = False,
-                 frames_per_tick: int = 1):
+                 frames_per_tick: int = 1, io_int16: bool = False):
         """mesh: optional jax.sharding mesh — slots shard across chips
         (capacity must be divisible by the mesh size), params replicate,
         and the tick becomes one SPMD step over all chips.
@@ -59,7 +59,13 @@ class StreamingServer:
         input compression (models.percepnet.compress_features).
         frames_per_tick: frames advanced per `step()` dispatch — raise it
         on dispatch-dominated (remote-tunnel) links to amortize the fixed
-        per-dispatch cost; adds frames_per_tick*10 ms buffering latency."""
+        per-dispatch cost; adds frames_per_tick*10 ms buffering latency.
+        io_int16: move audio over the host<->device link as int16 PCM
+        (submit takes raw int16 samples, step returns int16) — halves the
+        per-tick link bytes vs float32, which is the marginal cost on a
+        bandwidth-limited remote link; /32768 scaling and the C-cast
+        truncation to int16 happen ON DEVICE (same convention as
+        cli/enhance's PCM writer)."""
         self.capacity = capacity
         assert frames_per_tick >= 1
         self.frames_per_tick = frames_per_tick
@@ -75,6 +81,19 @@ class StreamingServer:
         from percepnet_tpu.ops.dispatch import resolve_impl
         kw["impl"] = resolve_impl()   # pinned outside the jit
         self._model_dtype = model_dtype or jnp.float32
+        self._io_int16 = io_int16
+
+        def _tick(p, s, st):
+            if io_int16:
+                s = s.astype(jnp.float32) * (1.0 / 32768.0)
+            pcm, new_st = pipeline.enhance_chunk(p, s, st, **kw)
+            if io_int16:
+                # C-cast truncation toward zero, as in cli/enhance's
+                # PCM writer (XLA float->int convert truncates)
+                pcm = jnp.clip(pcm * 32768.0, -32768.0, 32767.0).astype(
+                    jnp.int16)
+            return pcm, new_st
+
         if mesh is not None:
             from percepnet_tpu.parallel import mesh as pm
             assert capacity % mesh.devices.size == 0, \
@@ -83,7 +102,7 @@ class StreamingServer:
             rep_s = pm.replicated_sharding(mesh)
             self.params = pm.replicate(mesh, params)
             self._step = jax.jit(
-                lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
+                _tick,
                 in_shardings=(rep_s, data_s, data_s),
                 out_shardings=(data_s, data_s),
                 donate_argnums=(2,))
@@ -92,16 +111,15 @@ class StreamingServer:
                     capacity, model_dtype=self._model_dtype), data_s)
         else:
             self.params = params
-            self._step = jax.jit(
-                lambda p, s, st: pipeline.enhance_chunk(p, s, st, **kw),
-                donate_argnums=(2,))
+            self._step = jax.jit(_tick, donate_argnums=(2,))
             self._state = pipeline.init_pipeline_state(
                 capacity, model_dtype=self._model_dtype)
         self._zero_state = jax.tree.map(jnp.copy, self._state)
         self._free = list(range(capacity))[::-1]
         self._active: set[int] = set()
         self._inbuf = np.zeros(
-            (capacity, frames_per_tick * C.FRAME_SIZE), np.float32)
+            (capacity, frames_per_tick * C.FRAME_SIZE),
+            np.int16 if io_int16 else np.float32)
 
     # --- stream lifecycle -------------------------------------------------
     def attach(self) -> int:
@@ -126,8 +144,9 @@ class StreamingServer:
 
     # --- ticking ----------------------------------------------------------
     def submit(self, sid: int, frame: np.ndarray) -> None:
-        """Stage one tick of audio: frames_per_tick*480 float samples
-        (/32768 scale); shorter submissions are zero-padded."""
+        """Stage one tick of audio: frames_per_tick*480 samples — float
+        (/32768 scale), or raw int16 PCM when io_int16; shorter
+        submissions are zero-padded."""
         assert sid in self._active, f"stream {sid} not attached"
         n = self._inbuf.shape[1]
         self._inbuf[sid, : min(len(frame), n)] = frame[:n]

@@ -145,3 +145,34 @@ def test_server_over_device_mesh():
         a = srv.step()[sid]
         b = solo.step()[ss]
         np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+def test_server_int16_wire():
+    """io_int16 == float mode with on-device /32768 in and C-cast out.
+
+    The int16 wire halves link bytes on remote-device links (serve.py);
+    device-side scaling must match feeding the equivalent float frame,
+    and the output must be the C-truncation int16 of the float output
+    (allow 1 LSB where the extra convert ops reassociate)."""
+    params = percepnet.init_params(jax.random.PRNGKey(0))
+    srv_f = StreamingServer(params, capacity=2)
+    srv_i = StreamingServer(params, capacity=2, io_int16=True)
+    n_frames = 6
+    pcm16 = (20000 * 0.3 * np.asarray(jax.random.normal(
+        jax.random.PRNGKey(7), (n_frames * C.FRAME_SIZE,)),
+        np.float32)).astype(np.int16)
+
+    sf = srv_f.attach()
+    si = srv_i.attach()
+    out_f, out_i = [], []
+    for t in range(n_frames):
+        fr = pcm16[t * C.FRAME_SIZE : (t + 1) * C.FRAME_SIZE]
+        srv_f.submit(sf, fr.astype(np.float32) / 32768.0)
+        srv_i.submit(si, fr)
+        out_f.append(srv_f.step()[sf])
+        out_i.append(srv_i.step()[si])
+    out_f = np.concatenate(out_f)
+    out_i = np.concatenate(out_i)
+    assert out_i.dtype == np.int16
+    expect = np.trunc(np.clip(out_f * 32768.0, -32768, 32767))
+    assert np.max(np.abs(out_i.astype(np.float64) - expect)) <= 1.0
