@@ -519,45 +519,60 @@ def remove_doubling_precompute(xc_all: jax.Array, yy_look: jax.Array,
     period_all = jnp.maximum(2 * q + off_all, C.PITCH_MIN_PERIOD)
 
     # Narrow one-hot lookups: candidate k's lag is bounded by its
-    # subharmonic range (t1 ~ t0/k, t1b ~ sc*t0/k with t0 <= 383), so
-    # each candidate's compare mask only spans its REACHABLE prefix of
-    # the lag axis instead of all 385 lanes — bit-identical selection at
-    # ~2.6x fewer VPU lane-tiles than one [..., 29, 385] mask (the
-    # dominant cost of this stage; VERDICT r4 #4).  Indices are in-range
-    # by construction, so the masked sum loses nothing.
+    # subharmonic range (t1 ~ t0/k, t1b ~ sc*t0/k with t0 <= 383), so a
+    # candidate's compare mask only needs its REACHABLE prefix of the
+    # lag axis instead of all 385 lanes — bit-identical selection at
+    # ~2.4x fewer VPU lane-tiles than one [..., 29, 385] mask (the
+    # dominant cost of this stage; VERDICT r4 #4).  Candidates are
+    # bucketed into a few equal-width GROUPS (one [..., G, W] mask each)
+    # rather than 29 per-candidate reductions: a first cut with 31
+    # separate reduces was faster in isolation but broke XLA's fusion
+    # schedule inside the full pipeline (bench f32 8576 -> 8233).
     t0max = _MAX_PERIOD_H - 1                    # t0 clamp above
     ks_py = list(range(2, 16))
-    w_t1 = [(2 * t0max + k) // (2 * k) + 1 for k in ks_py]
-    sc_py = [_SECOND_CHECK_PY[k] for k in ks_py]
-    w_t1b = [_MAX_PERIOD_H + 1 if k == 2 else
-             min((2 * s * t0max + k) // (2 * k), _MAX_PERIOD_H) + 1
-             for k, s in zip(ks_py, sc_py)]
+    w_t1 = {k: (2 * t0max + k) // (2 * k) + 1 for k in ks_py}
+    w_t1b = {k: _MAX_PERIOD_H + 1 if k == 2 else
+             min((2 * _SECOND_CHECK_PY[k] * t0max + k) // (2 * k),
+                 _MAX_PERIOD_H) + 1 for k in ks_py}
 
-    def _narrow_take(values, idx, width):
-        """sum-select values[..., :width] at idx (in-range) — [...,] out."""
-        m = idx[..., None] == jnp.arange(width, dtype=jnp.int32)
-        return jnp.sum(jnp.where(m, values[..., :width], 0.0), axis=-1)
+    # (kind, k) -> group width; kinds: 0 = t0/p0, 1 = t1[k], 2 = t1b[k]
+    members = ([(0, 0)] + [(1, k) for k in ks_py] + [(2, k) for k in ks_py])
+    width_of = {(0, 0): t0max + 1,
+                **{(1, k): w_t1[k] for k in ks_py},
+                **{(2, k): w_t1b[k] for k in ks_py}}
+    group_caps = (97, 129, 193, 320, _MAX_PERIOD_H + 1)
+    idx_col = {(0, 0): t0,
+               **{(1, k): t1[..., k - 2] for k in ks_py},
+               **{(2, k): t1b[..., k - 2] for k in ks_py}}
 
-    m0 = t0[..., None] == jnp.arange(t0max + 1, dtype=jnp.int32)
-    xy0 = jnp.sum(jnp.where(m0, xc_all[..., : t0max + 1], 0.0), axis=-1)
-    yy0 = jnp.sum(jnp.where(m0, yy_look[..., : t0max + 1], 0.0), axis=-1)
-    p0c = jnp.sum(jnp.where(m0, period_all[..., : t0max + 1], 0), axis=-1)
+    vals: dict = {}
+    for cap in group_caps:
+        grp = [m for m in members
+               if width_of[m] <= cap and not any(
+                   width_of[m] <= c for c in group_caps if c < cap)]
+        if not grp:
+            continue
+        gi = jnp.stack([idx_col[m] for m in grp], axis=-1)    # [..., G]
+        mask = gi[..., :, None] == jnp.arange(cap, dtype=jnp.int32)
+        xc_g = jnp.sum(jnp.where(mask, xc_all[..., None, :cap], 0.0), -1)
+        yy_g = jnp.sum(jnp.where(mask, yy_look[..., None, :cap], 0.0), -1)
+        # period lookup only for the t0 row and the t1 rows
+        p_rows = [j for j, m in enumerate(grp) if m[0] != 2]
+        p_g = jnp.sum(jnp.where(mask[..., p_rows, :],
+                                period_all[..., None, :cap], 0), -1)
+        for j, m in enumerate(grp):
+            vals[m] = (xc_g[..., j], yy_g[..., j])
+        for pj, j in enumerate(p_rows):
+            vals[grp[j]] += (p_g[..., pj],)
 
-    xc_t1 = jnp.stack([_narrow_take(xc_all, t1[..., j], w)
-                       for j, w in enumerate(w_t1)], axis=-1)
-    yy_t1 = jnp.stack([_narrow_take(yy_look, t1[..., j], w)
-                       for j, w in enumerate(w_t1)], axis=-1)
-    xc_t1b = jnp.stack([_narrow_take(xc_all, t1b[..., j], w)
-                        for j, w in enumerate(w_t1b)], axis=-1)
-    yy_t1b = jnp.stack([_narrow_take(yy_look, t1b[..., j], w)
-                        for j, w in enumerate(w_t1b)], axis=-1)
-    p_t1 = jnp.stack(
-        [jnp.sum(jnp.where(t1[..., j, None]
-                           == jnp.arange(w, dtype=jnp.int32),
-                           period_all[..., :w], 0), axis=-1)
-         for j, w in enumerate(w_t1)], axis=-1)
+    xy0, yy0, p0c = vals[(0, 0)]
+    xc_t1 = jnp.stack([vals[(1, k)][0] for k in ks_py], axis=-1)
+    yy_t1 = jnp.stack([vals[(1, k)][1] for k in ks_py], axis=-1)
+    xc_t1b = jnp.stack([vals[(2, k)][0] for k in ks_py], axis=-1)
+    yy_t1b = jnp.stack([vals[(2, k)][1] for k in ks_py], axis=-1)
     cand_period = jnp.concatenate(
-        [p0c[..., None], p_t1], axis=-1).astype(jnp.int32)
+        [p0c[..., None]] + [vals[(1, k)][2][..., None] for k in ks_py],
+        axis=-1).astype(jnp.int32)
 
     g0 = _pitch_gain(xy0, xx, yy0)
     xy_k = 0.5 * (xc_t1 + xc_t1b)

@@ -8,15 +8,17 @@ stream's carried DenoiseState pytree; attaching a stream claims a slot
 are occupied — occupancy only affects which outputs are surfaced, so there
 is no recompilation as streams come and go.
 
-Capacity planning (measured round 4 on one v5e chip, check_tpu #8): the
-batched tick COMPUTES in 0.63 / 0.70 / 1.56 ms at 64 / 128 / 256 slots —
-256 concurrent real-time streams with >6x headroom against the 10 ms
+Capacity planning (measured round 5 on one v5e chip, check_tpu #8): the
+batched tick COMPUTES in 0.62 / 0.66 / 0.78 ms at 64 / 128 / 256 slots —
+256 concurrent real-time streams with >12x headroom against the 10 ms
 budget on a co-located TPU host.  Through a remote device tunnel the
-per-tick dispatch+transfers dominate instead (30-60 ms full `step()` at
-the same slot counts): set `frames_per_tick=N` so ONE dispatch advances
+per-tick dispatch+transfers dominate instead (30-43 ms full `step()` at
+the same slot counts; r5 decomposition: ~26 ms fixed dispatch + link
+bytes at ~60 MB/s): set `frames_per_tick=N` so ONE dispatch advances
 every stream N frames, amortizing the fixed per-dispatch cost N-fold at
-the price of N*10 ms of added buffering latency (the reference runtime
-has neither knob nor need — one stream, in-process, main.cpp:30-39).
+the price of N*10 ms of added buffering latency, and `io_int16=True` to
+halve the non-amortizable link bytes (the reference runtime has neither
+knob nor need — one stream, in-process, main.cpp:30-39).
 
 Usage:
     srv = StreamingServer(params, capacity=64)   # frames_per_tick=1
